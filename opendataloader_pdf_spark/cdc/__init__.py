@@ -1,0 +1,10 @@
+"""CDC / incremental-ingest engine: change-event transforms, lake sink
+with snapshot-manifest commits, micro-batch replay loop."""
+
+from opendataloader_pdf_spark.cdc.events import (  # noqa: F401
+    dedup_events,
+    last_writer_wins,
+    reduce_batch,
+)
+from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink  # noqa: F401
+from opendataloader_pdf_spark.cdc.engine import ReplayEngine  # noqa: F401

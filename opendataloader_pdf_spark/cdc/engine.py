@@ -1,0 +1,145 @@
+"""ReplayEngine — checkpointed micro-batch replay of a change stream.
+
+Mirrors the reference's five-phase per-document lifecycle
+(DocumentProcessor.processFile, core/processors/DocumentProcessor.java:65-143:
+parse → analyze → order → emit), lifted to fault-tolerant micro-batches:
+
+    source slice (delivery_seq range)        — "parse"
+    → dedup + last-writer-wins reduction     — "analyze"   (events.py)
+    → schema-registry diff                   — gate        (schema_evolution.py)
+    → LSN-guarded MERGE, bucket-pruned       — "emit"      (storage.py)
+    → manifest commit + lineage audit        — checkpoint
+
+The CLI's sequential per-file loop (CLIMain.java:62-64) becomes this
+driver loop; the checkpoint is the sink manifest's ``batch_id`` — a killed
+job resumes at ``last_batch_id + 1`` and a re-applied batch is a no-op
+(storage.merge returns None), which together give exactly-once.
+
+Scale notes: each batch filters the event log on a ``delivery_seq`` range;
+with parquet min/max row-group stats this prunes the scan to the slice
+(verify with .explain → PushedFilters). The reduction is one map-side
+combinable aggregation; the MERGE shuffles only affected buckets.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opendataloader_pdf_spark.cdc.events import reduce_batch
+from opendataloader_pdf_spark.cdc.schema_evolution import diff_schemas
+from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
+
+#: payload schema per registry version (v2 adds the additive `lang` col)
+def default_registry() -> dict[int, T.StructType]:
+    v1 = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType(), False),
+            T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+            T.StructField("n_tok", T.IntegerType(), True),
+            T.StructField("source", T.StringType(), True),
+            T.StructField("lsn", T.LongType(), False),
+        ]
+    )
+    v2 = T.StructType(list(v1.fields) + [T.StructField("lang", T.StringType(), True)])
+    return {1: v1, 2: v2}
+
+
+class JobKilled(RuntimeError):
+    """Injected failure for resumability tests."""
+
+
+@dataclass
+class ReplaySummary:
+    batches: list[dict] = field(default_factory=list)
+
+    @property
+    def events(self) -> int:
+        return sum(b["events"] for b in self.batches)
+
+    @property
+    def applied(self) -> int:
+        return sum(b["applied"] for b in self.batches)
+
+    @property
+    def elapsed(self) -> float:
+        return sum(b["secs"] for b in self.batches)
+
+
+class ReplayEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        sink: ParquetMergeSink,
+        registry: dict[int, T.StructType] | None = None,
+        salted: bool = False,
+    ):
+        self.spark = spark
+        self.sink = sink
+        self.registry = registry or default_registry()
+        self.salted = salted
+
+    def bootstrap(self, base: DataFrame | None = None, version: int = 1) -> None:
+        if not self.sink.exists():
+            self.sink.initialize(base, self.registry[version])
+
+    def replay(
+        self,
+        events: DataFrame,
+        batch_size: int = 100_000,
+        max_batches: int | None = None,
+        fail_after: int | None = None,
+    ) -> ReplaySummary:
+        """Replay the event log in delivery order. Resumes from the sink's
+        committed batch_id; kill/retry-safe."""
+        bounds = events.agg(
+            F.min("delivery_seq").alias("lo"), F.max("delivery_seq").alias("hi")
+        ).collect()[0]
+        if bounds["hi"] is None:
+            return ReplaySummary()
+        n_batches = int(bounds["hi"] // batch_size) + 1
+
+        start = self.sink.last_batch_id() + 1
+        summary = ReplaySummary()
+        done = 0
+        for b in range(start, n_batches):
+            t0 = time.time()
+            lo, hi = b * batch_size, (b + 1) * batch_size
+            # range predicate → parquet row-group pruning at scan
+            batch = events.filter(
+                (F.col("delivery_seq") >= lo) & (F.col("delivery_seq") < hi)
+            )
+            n_events = batch.count()
+            if n_events:
+                ver_row = batch.agg(F.max("schema_version").alias("v")).collect()[0]
+                target = diff_schemas(
+                    self.sink.current_schema(), self.registry[int(ver_row["v"])]
+                )
+                self.sink.evolve_schema(target)
+                reduced = reduce_batch(
+                    batch.drop("schema_version", "ts"), salted=self.salted
+                )
+                stats = self.sink.merge(reduced, batch_id=b)
+            else:
+                stats = self.sink.merge(
+                    self.spark.createDataFrame([], self._empty_change_schema()), batch_id=b
+                )
+            secs = time.time() - t0
+            rec = {"batch_id": b, "events": n_events, "secs": secs}
+            rec.update(stats or {"applied": 0, "deleted": 0, "stale": 0})
+            summary.batches.append(rec)
+            done += 1
+            if fail_after is not None and done >= fail_after:
+                raise JobKilled(f"injected kill after batch {b}")
+            if max_batches is not None and done >= max_batches:
+                break
+        return summary
+
+    def _empty_change_schema(self) -> T.StructType:
+        fields = list(self.sink.current_schema().fields)
+        fields.append(T.StructField("op", T.StringType(), True))
+        return T.StructType(fields)

@@ -1,0 +1,94 @@
+"""Change-event transforms: dedup by (doc_id, lsn) and last-writer-wins.
+
+Reference parity: dedup generalizes ``TextProcessor.removeSameTextChunks``
+(core/processors/TextProcessor.java:84-105) — sort-by-value single-pass
+duplicate elimination keeping the *later* occurrence — to CDC retransmission
+dedup; LWW generalizes the same keep-last rule to per-key max-LSN selection
+(SURVEY.md §2.5 "last-writer-wins (target)").
+
+Scale notes
+-----------
+``last_writer_wins`` uses ``max_by`` aggregation, NOT a row_number window:
+
+* a groupBy/agg gets **map-side partial aggregation** — each input
+  partition pre-reduces to at most one row per doc_id before the shuffle,
+  so a hot document with millions of updates in a batch ships O(partitions)
+  rows, not O(events). A window (row_number over partitionBy doc_id) would
+  shuffle every event of the hot key to one reducer — the exact straggler
+  the north rule's skew clause warns about.
+* ``salted`` mode adds an *explicit* two-phase reduction
+  (doc_id × salt → doc_id) for engines/settings where partial aggregation
+  is disabled or payload rows are too wide for the in-memory hash map;
+  the reduction is associative (max-by-lsn), so phases compose exactly.
+
+Dedup of exact (doc_id, lsn) retransmissions needs no separate shuffle:
+duplicates carry identical payloads, so max-by-lsn absorbs them. The
+standalone ``dedup_events`` transform exists for pipelines that need the
+deduplicated *stream* (e.g. metrics on unique events), and is windowless
+for the same skew reasons when ``use_window=False``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: columns that define the event payload applied to the base table
+PAYLOAD_COLS = ("op", "tokens", "n_tok", "source", "lang", "schema_version", "ts")
+
+
+def dedup_events(events: DataFrame, use_window: bool = False) -> DataFrame:
+    """Drop exact (doc_id, lsn) retransmissions, keeping one row.
+
+    Default path is an aggregation (map-side combinable). The window path
+    (`row_number() == 1`) is kept for parity with the reference's
+    sort-based single pass and for cases needing a stable "which copy"
+    rule beyond payload identity.
+    """
+    if use_window:
+        w = Window.partitionBy("doc_id", "lsn").orderBy(F.desc("delivery_seq"))
+        return (
+            events.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    payload = [c for c in events.columns if c not in ("doc_id", "lsn")]
+    agg = [F.max_by(F.struct(*payload), F.col("delivery_seq")).alias("_p")]
+    out = events.groupBy("doc_id", "lsn").agg(*agg)
+    return out.select("doc_id", "lsn", *[F.col(f"_p.{c}").alias(c) for c in payload])
+
+
+def last_writer_wins(
+    events: DataFrame,
+    key: str = "doc_id",
+    order: str = "lsn",
+    salted: bool = False,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Reduce a batch of events to one winning row per key (max lsn).
+
+    Exact-duplicate (key, lsn) rows are absorbed (identical payload).
+    ``salted=True`` forces an explicit two-phase skew-splitting reduction:
+    pre-reduce per (key, salt), then combine per key — associative, so the
+    result is identical to the one-phase reduction.
+    """
+    payload = [c for c in events.columns if c != key]
+    winner = F.max_by(F.struct(*payload), F.col(order)).alias("_w")
+
+    if salted:
+        salt = F.pmod(F.xxhash64(F.col(order)), F.lit(n_salts)).alias("_salt")
+        pre = events.select(key, salt.alias("_salt"), *payload).groupBy(key, "_salt").agg(winner)
+        pre = pre.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+        out = pre.groupBy(key).agg(winner)
+    else:
+        out = events.groupBy(key).agg(winner)
+    return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def reduce_batch(events: DataFrame, salted: bool = False, n_salts: int = 16) -> DataFrame:
+    """Full batch reduction: dedup + LWW in one associative aggregation.
+
+    Output: one row per doc_id — the event with the highest lsn — ready
+    for the LSN-guarded MERGE. One shuffle total.
+    """
+    return last_writer_wins(events, salted=salted, n_salts=n_salts)
