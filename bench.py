@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract): runs the CDC replay at bench
+scale plus the headline catalog queries on local[$SPARK_GRAFT_CPUS]
+against $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), printing ONE
+JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "replay": {"events": N, "events_per_sec": X, ...}}
+
+Scaling evidence (north rule: efficiency >= 0.8 between N and 4N):
+run ``python tools/scaling_bench.py`` which executes the identical
+replay at local[8] and local[32] in separate processes and writes
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "f2_dedup_lww",
+    "a1_sessionize_gap",
+    "j1_interval_containment",
+    "j3_rank_k_repeats",
+    "token_pipeline",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_dedup",
+    "cosine_topk",
+    "o2_xy_cut_order",
+]
+
+# replay sizing per sf of the driver testdata we're pointed at
+REPLAY_SIZE = {"0.001": (20_000, 2_000), "0.01": (200_000, 20_000),
+               "0.1": (1_000_000, 100_000)}
+
+
+def run_replay(spark, n_events: int, n_docs: int, workdir: str,
+               batch_size: int | None = None) -> dict:
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.datagen import gen_change_events
+
+    events_path = os.path.join(workdir, "events")
+    if not os.path.exists(events_path):
+        gen_change_events(spark, n_events, n_docs, seed=42).write.mode(
+            "overwrite"
+        ).parquet(events_path)
+    ev = spark.read.parquet(events_path)
+
+    table = os.path.join(workdir, "table")
+    sink = ParquetMergeSink(spark, table, n_buckets=64)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    t0 = time.time()
+    summary = eng.replay(ev, batch_size=batch_size or max(n_events // 5, 1000))
+    secs = time.time() - t0
+    return {
+        "events": summary.events,
+        "batches": len(summary.batches),
+        "secs": round(secs, 3),
+        "events_per_sec": round(summary.events / secs, 1),
+        "final_rows": sink.read().count(),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from opendataloader_pdf_spark.queries import QUERIES
+    from opendataloader_pdf_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    total0 = time.time()
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name].fn
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()  # count() forces full execution
+        qtimes[name] = round(time.time() - t0, 3)
+        _ = n
+
+    n_events, n_docs = REPLAY_SIZE.get(sf, (200_000, 20_000))
+    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/tmp/bench_cdc_sf{sf}")
+    os.makedirs(workdir, exist_ok=True)
+    replay = run_replay(spark, n_events, n_docs, workdir)
+
+    total = round(time.time() - total0, 3)
+    print(json.dumps({
+        "metric": "cdc_replay_plus_operator_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": float(sf),
+        "replay": replay,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,266 @@
+"""Similarity search & near-duplicate detection over documents and
+embedding vectors — the training-data-pipeline operator family.
+
+* exact dedup           → operators.relational.dedup_exact (hash groupBy)
+* n-gram Jaccard        → explode shingles → pair join → ratio (exact,
+                          SQL-oracle-able)
+* MinHash + LSH         → shingle → k minhashes via affine permutations of
+                          xxhash64 values (JVM-side transform/array_min) →
+                          band buckets → equi-join candidates → verify
+* SimHash               → vectorized pandas UDF (numpy bit ops)
+* cosine top-k (brute)  → broadcast queries × corpus, zip_with/aggregate
+                          dot product (JVM-side), rank window
+* cosine top-k (LSH)    → random-hyperplane sign buckets → candidates in
+                          matching buckets only (the scale path)
+
+Scale notes: every pair-generating join is an equi-join on a bucket key
+(LSH band or hyperplane signature) — never a cartesian product. The
+brute-force path exists as the correctness baseline and broadcasts the
+query side. Signatures are computed with JVM built-ins where possible
+(higher-order functions on arrays), pandas UDFs only for bit-packing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql import types as T
+
+# fixed affine-permutation parameters. 31-bit Mersenne modulus keeps
+# every product < 2^62 — no long overflow under Spark's ANSI mode.
+_MERS = (1 << 31) - 1
+
+
+def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [(int(rng.randint(1, _MERS - 1)), int(rng.randint(0, _MERS - 1))) for _ in range(k)]
+
+
+# ---------------------------------------------------------------- shingles
+
+def text_shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text → array<string>."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(n - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Exact pairwise Jaccard over word n-gram shingle sets, pairs with
+    similarity ≥ threshold. Shuffle key = shingle (co-groups only docs
+    sharing a shingle — no cartesian)."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
+        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# --------------------------------------------------------- MinHash + LSH
+
+def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
+    """k-permutation MinHash signature (array<long>) over a string-shingle
+    array. JVM-side: xxhash64 each shingle, then array_min of each affine
+    permutation — no Python."""
+    hashes = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERS)))
+    sigs = [
+        F.array_min(F.transform(hashes, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERS))))
+        for a, b in _perm_params(k, seed)
+    ]
+    return F.array(*sigs)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """LSH banding: split the k-signature into ``bands`` rows-per-band
+    groups, hash each band, explode to (band_idx, band_hash) buckets,
+    equi-join within buckets → candidate pairs (id_a < id_b, distinct).
+
+    The candidate join is an equi-join on (band_idx, band_hash): docs
+    land in the same reducer only if a band collides — the LSH scale
+    property that avoids all-pairs."""
+    rows_per_band = k // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_shingles(F.col(text_col), n), k, seed).alias("sig"),
+    )
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bh")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
+    bands: int = 8, jaccard_threshold: float = 0.8, seed: int = 42,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
+    keep the min-id representative of each duplicate pair's loser set."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands, seed)
+    verified = ngram_jaccard_pairs(
+        docs.join(
+            cands.select(F.col("id_a").alias(id_col)).union(
+                cands.select(F.col("id_b").alias(id_col))
+            ).distinct(),
+            id_col,
+            "left_semi",
+        ),
+        id_col, text_col, n, jaccard_threshold,
+    )
+    losers = verified.select(F.col("id_b").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")
+
+
+# --------------------------------------------------------------- SimHash
+
+@pandas_udf(T.LongType())
+def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
+    """64-bit SimHash from per-row arrays of feature hashes — vectorized
+    bit-vote: unpack bits of the whole batch's flat buffer at once."""
+    lengths = np.fromiter((0 if a is None else len(a) for a in hashes), dtype=np.int64,
+                          count=len(hashes))
+    out = np.zeros(len(hashes), dtype=np.uint64)
+    if lengths.sum():
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.uint64) for a in hashes if a is not None and len(a)]
+        )
+        bits = ((flat[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int32)
+        votes = bits * 2 - 1  # +1 / -1 per bit
+        row_ids = np.repeat(np.arange(len(lengths)), lengths)
+        sums = np.zeros((len(lengths), 64), dtype=np.int64)
+        np.add.at(sums, row_ids, votes)
+        packed = (sums > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        out = packed.sum(axis=1, dtype=np.uint64)
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash(col: Column, n: int = 3) -> Column:
+    """SimHash of text: shingle → xxhash64 (JVM) → bit-vote pack (pandas
+    UDF, the only Python step and it's batch-vectorized)."""
+    hashes = F.transform(text_shingles(col, n), lambda s: F.xxhash64(s))
+    return _simhash_from_hashes(hashes)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+# ----------------------------------------------------------- cosine / ANN
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two float arrays — JVM higher-order functions
+    (zip_with + aggregate), no UDF."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def brute_force_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the (small) query side,
+    score all corpus rows JVM-side, rank window per query."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec")
+    ).crossJoin(F.broadcast(q)).withColumn(
+        "cosine", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def lsh_signature(vec: Column, dim: int, n_planes: int = 16, seed: int = 42) -> Column:
+    """Random-hyperplane sign signature (long bitmask) — JVM-side dot
+    products against literal plane arrays."""
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        dot = F.aggregate(F.zip_with(vec, p, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+        sig = sig + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+def lsh_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, dim: int, k: int = 10, n_planes: int = 12, seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to matching hyperplane
+    buckets (equi-join on signature), then exact cosine rank. The scale
+    path — bucket join instead of all-pairs."""
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cvec"),
+                      lsh_signature(F.col(vec_col), dim, n_planes, seed).alias("_sig"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"),
+                       lsh_signature(F.col(vec_col), dim, n_planes, seed).alias("_sig"))
+    scored = c.join(F.broadcast(q), "_sig").withColumn(
+        "cosine", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -1,0 +1,195 @@
+"""Order-dependent folds as grouped-map pandas UDFs (applyInPandas).
+
+Three reference operators are inherently sequential per group and don't
+decompose into fixed-depth windows (SURVEY.md §4.3):
+
+* ``fold_adjacent``  — ParagraphProcessor.processParagraphs
+  (core/processors/ParagraphProcessor.java:30-48, passes 68-303; A2):
+  iterated merge of adjacent rows while a predicate holds. The reference
+  runs 8 sequential passes; here one grouped fold with a pluggable
+  vectorized predicate.
+* ``stack_levels``   — LevelProcessor.detectLevels
+  (core/processors/LevelProcessor.java:33-138; A15): a stack automaton —
+  same-style same-x pops to its level, new style pushes.
+* ``xy_cut_order``   — XYCutPlusPlusSorter.sort
+  (core/processors/readingorder/XYCutPlusPlusSorter.java:69-618; O2,
+  paper arXiv:2504.10258): recursive projection-profile segmentation
+  with cross-layout masking and largest-gap cuts.
+
+Scale notes: parallelism comes from the grouping key (doc_id, page) —
+millions of groups fan out across executors; inside each group the data
+is small (a page), so the per-group Python is bounded. Data crosses the
+boundary once per group via Arrow. This is the applyInPandas pattern the
+survey prescribes; nothing here touches driver memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+
+def fold_adjacent(
+    df: DataFrame,
+    partition: list[str],
+    order: str,
+    merge_when: Callable[[pd.DataFrame], np.ndarray],
+    out_schema: T.StructType,
+    reduce_group: Callable[[pd.DataFrame], dict],
+) -> DataFrame:
+    """Sequential adjacent-merge fold per partition group.
+
+    ``merge_when(pdf) -> bool array`` (len n): True at i ⇒ row i merges
+    into the run containing row i-1 (computed vectorized on the sorted
+    group). ``reduce_group(run_pdf) -> dict`` collapses one run to one
+    output row. Mirrors the reference's pass semantics where the
+    predicate sees the already-merged left neighbor only through row
+    i-1's attributes — sufficient for all 8 reference passes.
+    """
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        if not len(pdf):
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        m = np.asarray(merge_when(pdf), dtype=bool)
+        m[0] = False
+        run_id = np.cumsum(~m)
+        rows = [reduce_group(g) for _, g in pdf.groupby(run_id, sort=True)]
+        return pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.groupBy(*partition).applyInPandas(apply, schema=out_schema)
+
+
+def stack_levels(
+    df: DataFrame,
+    partition: list[str],
+    order: str,
+    style_cols: list[str],
+    level_col: str = "level",
+) -> DataFrame:
+    """Indent-level assignment via a style stack, per group.
+
+    Walk rows in order; maintain a stack of styles: a row whose style
+    equals a stacked style pops back to that depth; a new style pushes
+    one deeper. Emits input columns + ``level`` (1-based).
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(level_col, T.IntegerType(), False)]
+    )
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order).reset_index(drop=True)
+        styles = list(zip(*[pdf[c].tolist() for c in style_cols])) if len(pdf) else []
+        stack: list[tuple] = []
+        levels = np.empty(len(pdf), dtype=np.int32)
+        for i, s in enumerate(styles):
+            if s in stack:
+                depth = stack.index(s)
+                del stack[depth + 1:]
+            else:
+                stack.append(s)
+                depth = len(stack) - 1
+            levels[i] = depth + 1
+        pdf[level_col] = levels
+        return pdf
+
+    return df.groupBy(*partition).applyInPandas(apply, schema=out_schema)
+
+
+def _xy_cut(idx: np.ndarray, lx, rx, by, ty, min_gap: float, prefer_x: bool) -> list[int]:
+    """Recursive projection-profile cut; returns reading order of idx."""
+    if len(idx) <= 1:
+        return idx.tolist()
+
+    def gaps(lo: np.ndarray, hi: np.ndarray):
+        order = np.argsort(lo, kind="stable")
+        lo_s, hi_s = lo[order], hi[order]
+        run_max = np.maximum.accumulate(hi_s)
+        g = lo_s[1:] - run_max[:-1]
+        cut_pos = np.nonzero(g >= min_gap)[0]
+        return order, cut_pos, g
+
+    # evaluate both axes; cut on the axis with the LARGER qualifying gap
+    # (XYCutPlusPlusSorter density-ratio axis preference, :247-267);
+    # ties prefer y (top-to-bottom reading).
+    oy, cy, gy = gaps(-ty[idx], -by[idx])  # y: read top→bottom ⇒ desc top
+    ox, cx, gx = gaps(lx[idx], rx[idx])
+    best_y = gy[cy].max() if len(cy) else -1.0
+    best_x = gx[cx].max() if len(cx) else -1.0
+    if max(best_y, best_x) >= 0:
+        if (best_x > best_y) if not prefer_x else (best_x >= best_y):
+            order, cut_pos, g = ox, cx, gx
+        else:
+            order, cut_pos, g = oy, cy, gy
+        best = cut_pos[np.argmax(g[cut_pos])]
+        left = idx[order[: best + 1]]
+        right = idx[order[best + 1:]]
+        return _xy_cut(left, lx, rx, by, ty, min_gap, prefer_x) + _xy_cut(
+            right, lx, rx, by, ty, min_gap, prefer_x
+        )
+    # no cut on either axis: fall back to Y-then-X order
+    order = np.lexsort((lx[idx], -ty[idx]))
+    return idx[order].tolist()
+
+
+def xy_cut_order(
+    df: DataFrame,
+    partition: list[str] = ("doc_id", "page"),
+    left: str = "left_x",
+    right: str = "right_x",
+    bottom: str = "bottom_y",
+    top: str = "top_y",
+    min_gap: float = 5.0,
+    cross_layout_beta: float = 0.9,
+    rank_col: str = "reading_rank",
+) -> DataFrame:
+    """XY-Cut++ reading order per page group.
+
+    Phases per the reference: (1) mask cross-layout elements (width ≥
+    β·max_width with ≥2 horizontal overlaps); (2) recursive largest-gap
+    projection cuts (y preferred); (3) merge masked elements back by top
+    coordinate. Emits input columns + 0-based ``reading_rank``.
+    """
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(rank_col, T.IntegerType(), False)]
+    )
+    part = list(partition)
+
+    def apply(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.reset_index(drop=True)
+        n = len(pdf)
+        if n == 0:
+            return pdf.assign(**{rank_col: np.array([], dtype=np.int32)})
+        lx = pdf[left].to_numpy(float)
+        rx = pdf[right].to_numpy(float)
+        by = pdf[bottom].to_numpy(float)
+        ty = pdf[top].to_numpy(float)
+        width = rx - lx
+        # cross-layout mask: very wide elements overlapping ≥2 others horizontally
+        maxw = width.max() if n else 0.0
+        overlaps = (
+            (lx[:, None] < rx[None, :]) & (rx[:, None] > lx[None, :]) & ~np.eye(n, dtype=bool)
+        ).sum(axis=1)
+        masked = (width >= cross_layout_beta * maxw) & (overlaps >= 2) & (n > 2)
+        body = np.nonzero(~masked)[0]
+        cross = np.nonzero(masked)[0]
+        order = _xy_cut(body, lx, rx, by, ty, min_gap, prefer_x=False)
+        # merge cross-layout back by top coordinate (descending y)
+        result = list(order)
+        for c in sorted(cross.tolist(), key=lambda i: -ty[i]):
+            pos = 0
+            for j, o in enumerate(result):
+                if ty[o] > ty[c]:
+                    pos = j + 1
+            result.insert(pos, c)
+        ranks = np.empty(n, dtype=np.int32)
+        for r, i in enumerate(result):
+            ranks[i] = r
+        pdf[rank_col] = ranks
+        return pdf
+
+    return df.groupBy(*part).applyInPandas(apply, schema=out_schema)

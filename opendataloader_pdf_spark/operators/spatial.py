@@ -1,0 +1,67 @@
+"""Spatial / interval containment join via grid-bucket pre-join.
+
+Reference parity: TableBorderProcessor.addContentToTableBorder
+(core/processors/TableBorderProcessor.java:53-89,159-170; J1) routes each
+content object into the table-grid cell whose bbox contains it. The
+reference does an in-memory lookup per chunk; the Spark form is a
+theta-join — which naively is a cartesian product.
+
+Scale strategy (SURVEY.md §4.3): discretize the join dimension into grid
+buckets; explode each interval to the buckets it overlaps; equi-join on
+the bucket key (shuffle- or broadcast-hash, NOT a nested-loop cartesian);
+refine with the exact containment predicate; dedup multi-bucket matches.
+At 100 TB the equi-join prunes candidate pairs to co-located buckets —
+the same trick as the reference's TableBordersCollection page lookup.
+
+``interval_containment_join`` is 1-D (covers the common case: LSN/time
+ranges, y-bands, key ranges); 2-D = apply twice on two bucket columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_containment_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_width: float,
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Join each point row to interval rows with lo <= point < hi.
+
+    Both sides get a grid-bucket key (floor(x / width)); intervals explode
+    to every bucket they overlap via ``sequence`` (JVM-side, no UDF); the
+    equi-join on (extra_on..., bucket) prunes pairs; the exact predicate
+    refines. Intervals spanning b buckets produce b candidate rows —
+    choose bucket_width ≈ median interval length to keep b small.
+    """
+    extra_on = extra_on or []
+    p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
+    iv = intervals.withColumn(
+        "_bs",
+        F.sequence(
+            F.floor(F.col(lo_col) / F.lit(bucket_width)).cast("long"),
+            F.floor((F.col(hi_col) - F.lit(1e-12)) / F.lit(bucket_width)).cast("long"),
+        ),
+    ).withColumn("_b", F.explode("_bs")).drop("_bs")
+    on = [*extra_on, "_b"]
+    j = p.join(iv, on=on, how=how)
+    j = j.filter((F.col(point_col) >= F.col(lo_col)) & (F.col(point_col) < F.col(hi_col)))
+    return j.drop("_b")
+
+
+def overlap_fraction(
+    a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column
+) -> Column:
+    """1-D overlap length / length of a (the reference's overlap-%
+    predicate, ContentFilterProcessor.java:102-107) — pure column math."""
+    inter = F.greatest(
+        F.lit(0.0), F.least(a_hi, b_hi) - F.greatest(a_lo, b_lo)
+    )
+    return F.when(a_hi > a_lo, inter / (a_hi - a_lo)).otherwise(F.lit(0.0))

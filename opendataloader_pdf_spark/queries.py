@@ -1,0 +1,782 @@
+"""Query catalog: every implemented operator from SURVEY.md §2 bound to
+the driver testdata, each with a DuckDB oracle-SQL twin where the
+semantics are ANSI-SQL-expressible (driver contract in __spark_entry__).
+
+Column names are aliased identically in the Spark plan and the oracle SQL
+(the driver's value-hash sorts columns by name). Timestamps are emitted
+as epoch seconds (long) to avoid engine rendering drift.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from opendataloader_pdf_spark.functions import text as X
+from opendataloader_pdf_spark.functions import similarity as S
+from opendataloader_pdf_spark.operators import adjacency as adj
+from opendataloader_pdf_spark.operators import relational as R
+from opendataloader_pdf_spark.operators import sessionize as sess
+from opendataloader_pdf_spark.operators import spatial as sp
+from opendataloader_pdf_spark.operators import stats as st
+from opendataloader_pdf_spark.sources.tables import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    doc: str = ""
+
+
+QUERIES: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, doc: str = ""):
+    def wrap(fn):
+        QUERIES[name] = QueryDef(fn=fn, oracle=oracle, doc=doc)
+        return fn
+    return wrap
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Headline analytics (scan → filter → agg → join family; S1, A-family)
+# =====================================================================
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)                                   AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)                              AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE)           AS sum_disc_price,
+           CAST(round(avg(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE)                                   AS avg_qty,
+           CAST(round(avg(CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE)                                   AS avg_disc,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: full-scan partial-agg; whole-stage codegen path.",
+)
+def q1_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_base_price"),
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).cast("double").alias("sum_disc_price"),
+            F.round(F.avg(F.col("l_quantity").cast("decimal(18,4)")), 6).cast("double").alias("avg_qty"),
+            F.round(F.avg(F.col("l_discount").cast("decimal(18,4)")), 6).cast("double").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_segment_revenue",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           CAST(floor(epoch(o.o_orderdate)) AS BIGINT) AS orderdate_epoch
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, o.o_orderdate
+    HAVING CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) > 100000
+    """,
+    doc="TPC-H Q3 shape: fact-fact join + broadcast dim filter.",
+)
+def q3_segment_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(o.o_orderkey.alias("orderkey"), F.unix_timestamp("o_orderdate").alias("orderdate_epoch"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).cast("double").alias("revenue"))
+        .filter(F.col("revenue") > 100000)
+        .select("orderkey", "revenue", "orderdate_epoch")
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           CAST(sum(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM lineitem l
+      JOIN orders o    ON l.l_orderkey = o.o_orderkey
+      JOIN customer c  ON o.o_custkey = c.c_custkey
+      JOIN supplier s  ON l.l_suppkey = s.s_suppkey AND s.s_nationkey = c.c_nationkey
+      JOIN nation n    ON c.c_nationkey = n.n_nationkey
+      JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+    doc="TPC-H Q5 shape: star join; dims broadcast, facts shuffle on keys.",
+)
+def q5_nation_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)")).cast("double").alias("revenue"))
+    )
+
+
+# =====================================================================
+# CDC core over `events` (F2 dedup/LWW; §2.5 windows)
+# =====================================================================
+
+@register(
+    "f2_dedup_lww",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="F2/LWW: one winning row per key by max sequence (TextProcessor.java:84-105 analog).",
+)
+def f2_dedup_lww(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    return R.dedup_last_writer(ev, keys=["user_id"], order="event_id")
+
+
+@register(
+    "o1_multikey_rank",
+    """
+    SELECT l_orderkey, l_linenumber,
+           row_number() OVER (
+             PARTITION BY l_orderkey
+             ORDER BY l_shipdate DESC, l_extendedprice ASC, l_linenumber ASC
+           ) AS rank
+    FROM lineitem
+    """,
+    doc="O1 multi-key geometric sort materialized as rank (DocumentProcessor.java:299-337).",
+)
+def o1_multikey_rank(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.multikey_rank(
+        li,
+        order_cols=[F.desc("l_shipdate"), F.asc("l_extendedprice"), F.asc("l_linenumber")],
+        partition=["l_orderkey"],
+    )
+    return out.select("l_orderkey", "l_linenumber", F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "a12_existence_prune",
+    """
+    SELECT l_orderkey, l_linenumber, l_discount
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_discount > 0.09)
+    """,
+    doc="A12 existence pre-aggregation pruning (AbstractTableProcessor.java:90-123).",
+)
+def a12_existence_prune(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = R.existence_prune(li, "l_orderkey", F.col("l_discount") > 0.09)
+    return out.select("l_orderkey", "l_linenumber", "l_discount")
+
+
+@register(
+    "j7_anti_join",
+    """
+    WITH err AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+      WHERE event_type = 'error'
+    )
+    SELECT e.event_id, e.user_id, e.event_type
+    FROM events e
+    ANTI JOIN err ON e.user_id = err.user_id AND date_trunc('day', e.ts) = err.d
+    """,
+    doc="J7 anti-join removal semantics (HeaderFooterProcessor.java:72-96): "
+        "drop events on (user, day) pairs that contain an error event.",
+)
+def j7_anti_join(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.date_trunc("day", F.col("ts")))
+    errs = ev.filter(F.col("event_type") == "error")
+    return R.anti_matches(ev, errs, on=["user_id", "d"]).select(
+        "event_id", "user_id", "event_type"
+    )
+
+
+@register(
+    "set_union_by_name",
+    """
+    SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price, NULL::DOUBLE AS acctbal
+    FROM orders WHERE o_orderstatus = 'F'
+    UNION ALL
+    SELECT c_custkey AS key, c_mktsegment AS status, NULL::DOUBLE AS price, c_acctbal AS acctbal
+    FROM customer WHERE c_acctbal > 5000
+    """,
+    doc="§2.7 unionByName with additive missing columns (TaggedDocumentProcessor.java:50-57).",
+)
+def set_union_by_name(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 5000).select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_mktsegment").alias("status"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    return R.union_compatible(o, c)
+
+
+# =====================================================================
+# Sessionization / segment aggregation (F7, A1, A16)
+# =====================================================================
+
+@register(
+    "a1_sessionize_gap",
+    """
+    WITH flagged AS (
+      SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS flag
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), seg AS (
+      SELECT user_id, ts_s, value,
+             sum(flag) OVER (PARTITION BY user_id ORDER BY ts_s
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+      FROM flagged
+    )
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+           min(ts_s) AS session_start,
+           max(ts_s) AS session_end
+    FROM seg GROUP BY user_id, session_id
+    """,
+    doc="A1/F7/A16 sessionization: boundary flag → running segment id → segment agg.",
+)
+def a1_sessionize_gap(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s"), "value"
+    )
+    s = sess.sessionize_by_gap(ev, ["user_id"], "ts_s", gap_seconds=1800)
+    return sess.segment_aggregate(
+        s, ["user_id"], "session_id",
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+            F.min("ts_s").alias("session_start"),
+            F.max("ts_s").alias("session_end"),
+        ],
+    )
+
+
+# =====================================================================
+# Frequency / mode / levels (A3, A5)
+# =====================================================================
+
+@register(
+    "a3_mode_stats",
+    """
+    WITH freq AS (
+      SELECT l_quantity AS value, count(*) AS cnt
+      FROM lineitem GROUP BY l_quantity
+    ), m AS (
+      SELECT value AS mode_value FROM freq
+      ORDER BY cnt DESC, value ASC LIMIT 1
+    ), j AS (
+      SELECT f.value, f.cnt, m.mode_value,
+             CASE WHEN f.value > m.mode_value THEN
+               percent_rank() OVER (
+                 PARTITION BY CASE WHEN f.value > m.mode_value THEN 1 ELSE 0 END
+                 ORDER BY f.value)
+             ELSE 0.0 END AS boost_raw
+      FROM freq f CROSS JOIN m
+    )
+    SELECT value, cnt, mode_value, round(boost_raw, 6) AS boost FROM j
+    """,
+    doc="A3 ModeWeightStatistics: mode + rank-above-mode boost (ModeWeightStatistics.java:26-74).",
+)
+def a3_mode_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_quantity", "value")
+    return st.mode_weight_stats(li, "value")
+
+
+@register(
+    "a5_style_levels",
+    """
+    SELECT DISTINCT o_orderpriority AS style,
+           dense_rank() OVER (ORDER BY o_orderpriority ASC) AS level
+    FROM orders
+    """,
+    doc="A5 global style grouping → levels via dense_rank (HeadingProcessor.java:104-122).",
+)
+def a5_style_levels(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("style")).distinct()
+    return st.style_levels(o, [F.asc("style")]).withColumn("level", F.col("level").cast("long"))
+
+
+# =====================================================================
+# Adjacency / proximity / furniture (J2, J3, J4)
+# =====================================================================
+
+@register(
+    "j3_rank_k_repeats",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type,
+             CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY event_id) AS rk
+      FROM events
+    )
+    SELECT user_id, event_id, day_s, rk,
+           coalesce(
+             lead(event_type, 1) OVER w = event_type OR
+             lag(event_type, 1)  OVER w = event_type OR
+             lead(event_type, 2) OVER w = event_type OR
+             lag(event_type, 2)  OVER w = event_type, false) AS is_repeating
+    FROM ranked
+    WINDOW w AS (PARTITION BY rk ORDER BY day_s)
+    """,
+    doc="J3 rank-k cross-partition furniture detection (HeaderFooterProcessor.java:142-199).",
+)
+def j3_rank_k_repeats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type",
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s"),
+    )
+    ranked = R.multikey_rank(ev, [F.asc("event_id")], partition=["day_s"], rank_col="rk")
+    out = adj.rank_k_repeats(ranked, axis="day_s", rank_col="rk", value="event_type")
+    return out.select("user_id", "event_id", "day_s", F.col("rk").cast("long").alias("rk"), "is_repeating")
+
+
+@register(
+    "j4_neighbor_links",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             lag(event_id)  OVER win AS p_id,
+             lag(event_type) OVER win AS p_type,
+             lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER win AS p_ts
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+    ), linked AS (
+      SELECT user_id, event_id, event_type, ts_s,
+             CASE WHEN p_type = event_type AND ts_s - p_ts <= 3600 THEN p_id END AS prev_id
+      FROM w
+    )
+    SELECT user_id, event_id, event_type, prev_id,
+           CASE WHEN lead(prev_id) OVER win2 = event_id
+                THEN lead(event_id) OVER win2 END AS next_id
+    FROM linked
+    WINDOW win2 AS (PARTITION BY user_id ORDER BY event_id)
+    """,
+    doc="J4/J5 neighbor entity linking via lag (ListProcessor.java:403-522).",
+)
+def j4_neighbor_links(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("ts_s")
+    )
+    out = adj.link_neighbors(
+        ev,
+        partition=["user_id"],
+        order="event_id",
+        id_col="event_id",
+        link_when=(F.col("_prev_event_type") == F.col("event_type"))
+        & (F.col("ts_s") - F.col("_prev_ts_s") <= 3600),
+    )
+    return out.select("user_id", "event_id", "event_type", "prev_id", "next_id")
+
+
+@register(
+    "j2_proximity_score",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             lag(CAST(floor(epoch(ts)) AS BIGINT))  OVER win AS p_ts,
+             lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER win AS n_ts
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT user_id, event_id,
+           CASE WHEN greatest(coalesce(1.0/(1+abs(ts_s-p_ts)), 0.0),
+                              coalesce(1.0/(1+abs(n_ts-ts_s)), 0.0)) >= 0.001
+                THEN CASE WHEN coalesce(1.0/(1+abs(ts_s-p_ts)), 0.0)
+                               >= coalesce(1.0/(1+abs(n_ts-ts_s)), 0.0)
+                          THEN 'prev' ELSE 'next' END
+           END AS linked,
+           round(greatest(coalesce(1.0/(1+abs(ts_s-p_ts)), 0.0),
+                          coalesce(1.0/(1+abs(n_ts-ts_s)), 0.0)), 6) AS linked_score
+    FROM w
+    """,
+    doc="J2 caption↔figure proximity scoring via lag/lead (CaptionProcessor.java:36-130).",
+)
+def j2_proximity_score(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp("ts").alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s")
+    ev = ev.withColumn("p_ts", F.lag("ts_s").over(w)).withColumn(
+        "n_ts", F.lead("ts_s").over(w)
+    )
+    score_prev = F.coalesce(1.0 / (1 + F.abs(F.col("ts_s") - F.col("p_ts"))), F.lit(0.0))
+    score_next = F.coalesce(1.0 / (1 + F.abs(F.col("n_ts") - F.col("ts_s"))), F.lit(0.0))
+    out = adj.proximity_score(ev, ["user_id"], "ts_s", score_prev, score_next, 0.001)
+    return out.select("user_id", "event_id", "linked", "linked_score")
+
+
+# =====================================================================
+# Spatial containment join (J1)
+# =====================================================================
+
+@register(
+    "j1_interval_containment",
+    """
+    SELECT p.p_partkey AS partkey, count(*) AS n_contained,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM part p JOIN lineitem l
+      ON l.l_extendedprice >= p.p_retailprice
+     AND l.l_extendedprice <  p.p_retailprice + 50
+    GROUP BY p.p_partkey
+    """,
+    doc="J1 spatial containment join via grid-bucket equi-prejoin (TableBorderProcessor.java:53-89).",
+)
+def j1_interval_containment(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("lo"),
+        (F.col("p_retailprice") + 50).alias("hi"),
+    )
+    j = sp.interval_containment_join(
+        li, part, point_col="l_extendedprice", lo_col="lo", hi_col="hi", bucket_width=50.0
+    )
+    return j.groupBy(F.col("p_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_contained"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+# =====================================================================
+# Text analysis over `documents` (F8/F9 + training-pipeline family)
+# =====================================================================
+
+@register(
+    "f8_fingerprint_tokens",
+    """
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))      AS fp,
+           len(string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' '))::INT AS ws_tokens,
+           (len(regexp_extract_all(text, '[A-Za-z]{1,4}'))
+            + len(regexp_extract_all(text, '[0-9]'))
+            + len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')))::INT     AS bpe_tokens
+    FROM documents
+    """,
+    doc="F8 normalize + fingerprint + token counting (TextProcessor.java:58-65; "
+        "training-pipeline token-count/fingerprint ops).",
+)
+def f8_fingerprint_tokens(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.fingerprint(F.col("text")).alias("fp"),
+        X.whitespace_token_count(F.col("text")).alias("ws_tokens"),
+        X.bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+@register(
+    "text_langid_quality",
+    """
+    WITH n AS (
+      SELECT doc_id, text,
+             regexp_replace(trim(text), '\\s+', ' ', 'g') AS nt,
+             lower(text) AS lt
+      FROM documents
+    ), scores AS (
+      SELECT doc_id, nt,
+        len(regexp_extract_all(lt, '\\bthe\\b')) + len(regexp_extract_all(lt, '\\band\\b'))
+          + len(regexp_extract_all(lt, '\\bof\\b')) + len(regexp_extract_all(lt, '\\bto\\b'))
+          + len(regexp_extract_all(lt, '\\bis\\b'))  AS s_en,
+        len(regexp_extract_all(lt, '\\bel\\b')) + len(regexp_extract_all(lt, '\\bla\\b'))
+          + len(regexp_extract_all(lt, '\\bde\\b')) + len(regexp_extract_all(lt, '\\bque\\b'))
+          + len(regexp_extract_all(lt, '\\blos\\b')) AS s_es,
+        len(regexp_extract_all(lt, '\\bder\\b')) + len(regexp_extract_all(lt, '\\bdie\\b'))
+          + len(regexp_extract_all(lt, '\\bund\\b')) + len(regexp_extract_all(lt, '\\bdas\\b'))
+          + len(regexp_extract_all(lt, '\\bist\\b')) AS s_de,
+        len(regexp_extract_all(lt, '\\ble\\b')) + len(regexp_extract_all(lt, '\\bla\\b'))
+          + len(regexp_extract_all(lt, '\\bet\\b')) + len(regexp_extract_all(lt, '\\bles\\b'))
+          + len(regexp_extract_all(lt, '\\bdes\\b')) AS s_fr
+      FROM n
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+           WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+           ELSE 'fr' END AS lang_pred
+    FROM scores
+    """,
+    doc="Language-ID heuristic (stopword markers), training-pipeline op; "
+        "deterministic tie-break by language order.",
+)
+def text_langid_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", X.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "dedup_exact",
+    """
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+    ), fp AS (
+      SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp
+      FROM uni
+    )
+    SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp
+    """,
+    doc="Exact dedup by content fingerprint, keep min-id representative "
+        "(hash groupBy — map-side combinable; self-union forces duplicates).",
+)
+def dedup_exact(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    uni = d.unionByName(dup)
+    fp = uni.select(F.col("doc_id"), X.fingerprint(F.col("text")).alias("fp"))
+    out = R.dedup_exact(fp, keys=["fp"], keep_min="doc_id")
+    return out.select("fp", "doc_id")
+
+
+@register(
+    "ngram_jaccard_pairs",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                                   for i in range(1, greatest(len(arr)-2, 1)+1)])) AS sh
+      FROM w
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           round(common / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.12
+    """,
+    doc="Exact n-gram Jaccard near-dup pairs; shuffle key = shingle, "
+        "never a cartesian (training-pipeline dedup family).",
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return S.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12)
+
+
+@register(
+    "cosine_topk",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS cosine
+      FROM embeddings c CROSS JOIN q
+    ), ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rk::BIGINT AS rk FROM ranked WHERE rk <= 5
+    """,
+    doc="Brute-force cosine top-k ANN baseline: broadcast query side, "
+        "JVM-side zip_with/aggregate dot product, rank window.",
+)
+def cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    out = S.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", k=5)
+    return out.select("query_id", "neighbor_id", F.col("rk").cast("long").alias("rk"))
+
+
+@register(
+    "token_pipeline",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                            w -> length(w)*257 + ascii(w)) AS tokens
+      FROM documents
+    )
+    SELECT doc_id,
+           len(tokens)::INT AS n_tok,
+           list_sum(tokens)::BIGINT AS tok_sum,
+           len(list_distinct(tokens))::INT AS n_distinct,
+           (list_reduce(tokens, (a,v) -> (a*1000003 + v) % 2147483647) * 2147483648
+            + list_reduce(tokens, (a,v) -> (a*999983 + v) % 536870909))::BIGINT AS fp
+    FROM tok
+    """,
+    doc="Vectorized token-array pipeline (input_hint): derive int tokens, "
+        "then Arrow pandas-UDF sum/distinct/fingerprint over array<int> "
+        "(functions/tokens.py) — oracle recomputes via DuckDB list fns.",
+)
+def token_pipeline(spark, sf_dir):
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(X.normalize_ws(F.lower(F.col("text"))), " ")
+    toks = F.transform(words, lambda w: (F.length(w) * 257 + F.ascii(w)).cast("int"))
+    t = d.select("doc_id", toks.alias("tokens"))
+    return t.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        TK.token_sum(F.col("tokens")).alias("tok_sum"),
+        TK.token_distinct_count(F.col("tokens")).alias("n_distinct"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+# =====================================================================
+# Rows-only operators (non-SQL-expressible; pytest covers semantics)
+# =====================================================================
+
+@register(
+    "minhash_lsh_dedup", None,
+    doc="MinHash+LSH near-dup dedup: band-bucket equi-join candidates → "
+        "exact Jaccard verify → drop losers (training-pipeline scale path).",
+)
+def minhash_lsh_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    uni = d.unionByName(dup)
+    return S.minhash_dedup(uni, "doc_id", "text", n=3, k=32, bands=8,
+                           jaccard_threshold=0.8)
+
+
+@register(
+    "simhash_docs", None,
+    doc="SimHash signatures (vectorized bit-vote pandas UDF) + hamming "
+        "distance to the exact-duplicate twin == 0 invariant in pytest.",
+)
+def simhash_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", S.simhash(F.col("text")).alias("sh"))
+
+
+@register(
+    "lsh_topk", None,
+    doc="Approximate ANN: random-hyperplane signature buckets → "
+        "equi-join candidates → cosine rank (scale path vs brute force).",
+)
+def lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.lsh_topk(emb, q, "vec_id", "embedding", "vec_id", dim=64, k=5, n_planes=8)
+
+
+@register(
+    "a2_fold_paragraphs", None,
+    doc="A2 order-dependent adjacent fold (ParagraphProcessor.java:30-48) "
+        "via grouped applyInPandas: merge runs of same event_type per user.",
+)
+def a2_fold_paragraphs(spark, sf_dir):
+    import pandas as pd
+    from pyspark.sql import types as T
+    from opendataloader_pdf_spark.operators.folds import fold_adjacent
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    out_schema = T.StructType([
+        T.StructField("user_id", T.LongType()),
+        T.StructField("run_type", T.StringType()),
+        T.StructField("n", T.IntegerType()),
+        T.StructField("first_id", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ])
+
+    def merge_when(pdf: pd.DataFrame):
+        same = pdf["event_type"].values[1:] == pdf["event_type"].values[:-1]
+        import numpy as np
+        return np.concatenate(([False], same))
+
+    def reduce_group(g: pd.DataFrame) -> dict:
+        return {
+            "user_id": int(g["user_id"].iloc[0]),
+            "run_type": g["event_type"].iloc[0],
+            "n": int(len(g)),
+            "first_id": int(g["event_id"].iloc[0]),
+            "sum_value": float(g["value"].sum()),
+        }
+
+    return fold_adjacent(ev, ["user_id"], "event_id", merge_when, out_schema, reduce_group)
+
+
+@register(
+    "a15_stack_levels", None,
+    doc="A15 indent-level stack automaton (LevelProcessor.java:33-138) via "
+        "grouped applyInPandas over (user_id) ordered by event_id.",
+)
+def a15_stack_levels(spark, sf_dir):
+    from opendataloader_pdf_spark.operators.folds import stack_levels
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    return stack_levels(ev, ["user_id"], "event_id", ["event_type"])
+
+
+@register(
+    "o2_xy_cut_order", None,
+    doc="O2 XY-Cut++ reading order (XYCutPlusPlusSorter.java:69-618, "
+        "arXiv:2504.10258) over synthetic page geometry derived from lineitem.",
+)
+def o2_xy_cut_order(spark, sf_dir):
+    from opendataloader_pdf_spark.operators.folds import xy_cut_order
+
+    li = _t(spark, sf_dir, "lineitem").limit(2000)
+    geo = li.select(
+        (F.col("l_orderkey") % 37).alias("page"),
+        F.lit("d0").alias("doc_id"),
+        (F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(500)).cast("double")).alias("left_x"),
+        (F.pmod(F.xxhash64("l_linenumber", "l_orderkey"), F.lit(600)).cast("double")).alias("top_y"),
+    ).withColumn("right_x", F.col("left_x") + 40.0).withColumn(
+        "bottom_y", F.col("top_y") - 12.0
+    )
+    return xy_cut_order(geo, ["doc_id", "page"])
