@@ -117,7 +117,11 @@ class ParquetMergeSink:
         snap_dir = os.path.join(self.data_dir, "snap-0")
         buckets: dict[str, dict] = {}
         if base is not None:
-            out = self._bucketed(base.select([f.name for f in schema.fields]))
+            out = self._bucketed(
+                base.select([f.name for f in schema.fields]).withColumn(
+                    "_deleted", F.lit(False)
+                )
+            )
             (
                 out.repartition(self.n_buckets, "bucket")
                 .sortWithinPartitions(self.key)
@@ -154,12 +158,19 @@ class ParquetMergeSink:
                 cols.append(c.alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        extra = [c for c in df.columns if c == "bucket"]
+        extra = [c for c in df.columns if c in ("bucket", "_deleted")]
         return df.select(*cols, *extra)
 
-    def read(self, buckets: list[int] | None = None, with_bucket: bool = False) -> DataFrame:
+    def read(self, buckets: list[int] | None = None, with_bucket: bool = False,
+             include_deleted: bool = False) -> DataFrame:
         """Current table state; ``buckets`` prunes to the given hash
-        buckets (partition pruning — the scan never touches other files)."""
+        buckets (partition pruning — the scan never touches other files).
+
+        Deletes are logical tombstones (``_deleted`` rows, Iceberg
+        merge-on-read style): they stay in storage so the LSN guard can
+        reject OLDER out-of-order events arriving after the delete —
+        physical removal would let a late stale event resurrect the row.
+        Default reads hide them."""
         m = self.manifest()
         schema = self.current_schema()
         want = None if buckets is None else {str(b) for b in buckets}
@@ -173,18 +184,27 @@ class ParquetMergeSink:
         parts: list[DataFrame] = []
         for sid, entries in sorted(by_schema.items()):
             file_schema = T.StructType.fromJson(json.loads(m["schemas"][str(sid)]))
+            phys = T.StructType(
+                list(file_schema.fields) + [T.StructField("_deleted", T.BooleanType(), True)]
+            )
             paths = [p for _, p in entries]
-            df = self.spark.read.schema(file_schema).parquet(*paths)
+            df = self.spark.read.schema(phys).parquet(*paths)
             if with_bucket:
                 df = self._bucketed(df)
             parts.append(self._align(df, schema))
         if not parts:
-            df = self.spark.createDataFrame([], schema)
-            return self._bucketed(df) if with_bucket else df
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            df = self.spark.createDataFrame([], schema).withColumn(
+                "_deleted", F.lit(False)
+            )
+            if with_bucket:
+                df = self._bucketed(df)
+        else:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        if include_deleted:
+            return df
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
     # ---------------------------------------------------------------- merge
 
@@ -232,7 +252,7 @@ class ParquetMergeSink:
             return {"batch_id": batch_id, "applied": 0, "deleted": 0,
                     "inserted": 0, "stale": 0, "buckets": []}
 
-        base = self.read(buckets=affected, with_bucket=True)
+        base = self.read(buckets=affected, with_bucket=True, include_deleted=True)
         c = self._align(ch.drop("op", "delivery_seq"), schema)
         c = c.join(ch.select(self.key, "op"), on=self.key, how="inner")
         c = c.select(*[F.col(x).alias(f"c_{x}") for x in table_cols], F.col("op"),
@@ -252,21 +272,25 @@ class ParquetMergeSink:
                 for x in table_cols
             ],
             F.coalesce(F.col("bucket"), F.col("c_bucket")).alias("bucket"),
+            # tombstone semantics: a winning delete marks the row deleted but
+            # KEEPS it (with its lsn) so later out-of-order stale events are
+            # still rejected by the LSN guard; reads hide tombstones.
+            F.when(wins, is_delete)
+            .otherwise(F.coalesce(F.col("_deleted"), F.lit(False)))
+            .alias("_deleted"),
             wins.alias("_wins"),
             is_base.alias("_was"),
             is_delete.alias("_del"),
             is_change.alias("_chg"),
             F.col(f"c_{self.order}").alias("_clsn"),
         )
-        # keep: existing rows not deleted-by-winner; new winning non-delete rows
-        keep = (~(F.col("_wins") & F.col("_del"))) & (F.col("_was") | F.col("_wins"))
-        out = merged.filter(keep)
+        out = merged.filter(F.col("_was") | F.col("_wins"))
 
         sid = m["snapshot_id"] + 1
         snap_rel = f"snap-{sid}"
         snap_dir = os.path.join(self.data_dir, snap_rel)
         (
-            out.select(*table_cols, "bucket")
+            out.select(*table_cols, "_deleted", "bucket")
             .repartition(len(affected), "bucket")
             .sortWithinPartitions(self.key)
             .write.partitionBy("bucket")

@@ -1,0 +1,78 @@
+"""Structured Streaming tail: availableNow replay equals the pandas
+oracle; a resumed query with the same checkpoint is a no-op; new files
+appended after the first run are picked up incrementally."""
+
+from __future__ import annotations
+
+import pytest
+
+from opendataloader_pdf_spark.cdc import ParquetMergeSink
+from opendataloader_pdf_spark.datagen import gen_change_events
+from opendataloader_pdf_spark.streaming import tail_available_now
+from opendataloader_pdf_spark.testing import assert_states_equal, expected_final_state
+
+N_EVENTS = 6_000
+N_DOCS = 600
+
+
+@pytest.fixture(scope="module")
+def event_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("tail")
+    ev = gen_change_events(spark, N_EVENTS, N_DOCS, seed=11)
+    # many files → many micro-batches under maxFilesPerTrigger
+    ev.repartition(12).write.mode("overwrite").parquet(str(d / "events"))
+    return d
+
+
+def _final(sink):
+    cols = ["doc_id", "tokens", "n_tok", "source", "lang", "lsn"]
+    df = sink.read().toPandas()
+    for c in cols:
+        if c not in df.columns:
+            df[c] = None
+    return df[cols]
+
+
+def test_tail_available_now_matches_oracle_and_resumes(spark, event_dir, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "tbl"), n_buckets=8)
+    from opendataloader_pdf_spark.cdc import ReplayEngine
+
+    ReplayEngine(spark, sink).bootstrap(None)
+
+    applied = tail_available_now(
+        spark, str(event_dir / "events"), sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+    )
+    assert len(applied) >= 3  # several micro-batches
+
+    ev_pdf = spark.read.parquet(str(event_dir / "events")).toPandas()
+    assert_states_equal(_final(sink), expected_final_state(ev_pdf))
+
+    # resume with same checkpoint: fully caught up → no batches applied
+    applied2 = tail_available_now(
+        spark, str(event_dir / "events"), sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,
+    )
+    assert applied2 == []
+    assert_states_equal(_final(sink), expected_final_state(ev_pdf))
+
+
+def test_tail_picks_up_appended_files(spark, event_dir, tmp_path):
+    sink = ParquetMergeSink(spark, str(tmp_path / "tbl2"), n_buckets=8)
+    from opendataloader_pdf_spark.cdc import ReplayEngine
+
+    ReplayEngine(spark, sink).bootstrap(None)
+    src = str(tmp_path / "grow")
+    ev = spark.read.parquet(str(event_dir / "events"))
+    lo = ev.filter("lsn < 3000")
+    hi = ev.filter("lsn >= 3000")
+    lo.repartition(4).write.mode("overwrite").parquet(src)
+
+    tail_available_now(spark, src, sink, str(tmp_path / "ckpt2"), max_files_per_trigger=2)
+    # append the rest of the log, tail again from the same checkpoint
+    hi.repartition(4).write.mode("append").parquet(src)
+    applied = tail_available_now(spark, src, sink, str(tmp_path / "ckpt2"),
+                                 max_files_per_trigger=2)
+    assert applied  # incremental batches
+
+    assert_states_equal(_final(sink), expected_final_state(ev.toPandas()))
