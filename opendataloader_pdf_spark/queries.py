@@ -780,3 +780,66 @@ def o2_xy_cut_order(spark, sf_dir):
         "bottom_y", F.col("top_y") - 12.0
     )
     return xy_cut_order(geo, ["doc_id", "page"])
+
+
+# =====================================================================
+# Sinks (K-family) and multimodal plumbing
+# =====================================================================
+
+@register(
+    "k2_markdown_render",
+    """
+    SELECT '| ' || o_orderkey || ' | ' || o_orderstatus || ' | ' || o_orderpriority || ' |' AS md
+    FROM orders WHERE o_orderkey % 100 = 0
+    """,
+    doc="K2 markdown sink rendering as JVM concat expressions "
+        "(MarkdownGenerator.java:56-110).",
+)
+def k2_markdown_render(spark, sf_dir):
+    from opendataloader_pdf_spark.sinks import to_markdown_rows
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    return to_markdown_rows(o, ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+
+@register(
+    "k1_json_lines", None,
+    doc="K1 JSON sink: whole-row to_json(struct(*)) (JsonWriter.java:41-77); "
+        "rows-only (JSON field ordering is engine-specific).",
+)
+def k1_json_lines(spark, sf_dir):
+    from opendataloader_pdf_spark.sinks import to_json_lines
+
+    return to_json_lines(_t(spark, sf_dir, "nation"))
+
+
+@register(
+    "multimodal_decode", None,
+    doc="Multimodal decode/feature plumbing via mapInPandas over binary "
+        "payloads (stubbed deterministic decode; K6 ImagesUtils analog).",
+)
+def multimodal_decode(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.multimodal import (
+        decode_images,
+        documents_as_media,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return decode_images(media)
+
+
+@register(
+    "multimodal_frame_sample", None,
+    doc="Video frame sampling: one media row → N frame rows inside "
+        "mapInPandas (row-explosion pattern).",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents")).filter(
+        F.col("kind") == "video"
+    )
+    return sample_frames(media)
