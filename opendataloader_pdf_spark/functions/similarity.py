@@ -92,6 +92,34 @@ def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signatures(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signatures as a DataFrame (id, sig array<long>).
+
+    Formulated as explode(shingles) → groupBy(id).agg(min(perm_j(h)) for
+    each lane j): each shingle is hashed ONCE, each lane costs one
+    multiply-add inside a map-side-combinable aggregate. The column-
+    expression form (``minhash_signature``) inlines the whole shingle
+    pipeline into every lane after projection collapse — k×bands copies of
+    the expression tree, which blows past codegen limits and falls back to
+    per-row interpretation (measured 269s vs <2s on 10k docs)."""
+    h = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(text_shingles(F.col(text_col), n)).alias("_sh"),
+    ).select("id", F.pmod(F.xxhash64("_sh"), F.lit(_MERS)).alias("_h"))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERS))).alias(f"_s{i}")
+        for i, (a, b) in enumerate(_perm_params(k, seed))
+    ]
+    return (
+        h.groupBy("id")
+        .agg(*aggs)
+        .select("id", F.array(*[F.col(f"_s{i}") for i in range(k)]).alias("sig"))
+    )
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str,
@@ -109,10 +137,7 @@ def minhash_lsh_candidates(
     land in the same reducer only if a band collides — the LSH scale
     property that avoids all-pairs."""
     rows_per_band = k // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(text_shingles(F.col(text_col), n), k, seed).alias("sig"),
-    )
+    sig = minhash_signatures(docs, id_col, text_col, n, k, seed)
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
         "id",
@@ -139,22 +164,46 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_jaccard_pairs(
+    docs: DataFrame, cands: DataFrame, id_col: str, text_col: str,
+    n: int = 3, threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard verification of candidate pairs ONLY — work is linear
+    in |cands|, not quadratic in docs (the post-LSH verify step must never
+    re-explode; at 100TB the candidate set is the small side). Each side's
+    shingle set joins in once; the set ops run JVM-side
+    (array_intersect/array_union)."""
+    sh = docs.select(
+        F.col(id_col).alias("_vid"),
+        text_shingles(F.col(text_col), n).alias("_shset"),
+    )
+    out = (
+        cands.join(sh.withColumnRenamed("_vid", "id_a").withColumnRenamed("_shset", "_sa"), "id_a")
+        .join(sh.withColumnRenamed("_vid", "id_b").withColumnRenamed("_shset", "_sb"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("_sa", "_sb"))
+                / F.size(F.array_union("_sa", "_sb")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
 def minhash_dedup(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
     bands: int = 8, jaccard_threshold: float = 0.8, seed: int = 42,
 ) -> DataFrame:
-    """Full near-dup pipeline: LSH candidates → exact Jaccard verify →
-    keep the min-id representative of each duplicate pair's loser set."""
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verify (per
+    candidate pair, linear) → keep the min-id representative of each
+    duplicate pair's loser set."""
     cands = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands, seed)
-    verified = ngram_jaccard_pairs(
-        docs.join(
-            cands.select(F.col("id_a").alias(id_col)).union(
-                cands.select(F.col("id_b").alias(id_col))
-            ).distinct(),
-            id_col,
-            "left_semi",
-        ),
-        id_col, text_col, n, jaccard_threshold,
+    verified = verify_jaccard_pairs(
+        docs, cands, id_col, text_col, n, jaccard_threshold
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
@@ -225,6 +274,27 @@ def brute_force_topk(
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def cosine_pairs_above(
+    vecs: DataFrame, id_col: str, vec_col: str, threshold: float
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline.
+
+    Broadcast self-join with the id inequality as the join condition, so
+    each pair is scored once; the dot product runs JVM-side (zip_with +
+    aggregate, whole-stage codegen). For corpora too large to broadcast,
+    the LSH-bucketed path (lsh_topk / minhash_lsh_candidates) replaces the
+    quadratic scorer.
+    """
+    a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("_cos", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)  # filter raw, round for output (oracle parity)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
 
 

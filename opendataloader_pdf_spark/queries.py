@@ -783,6 +783,326 @@ def o2_xy_cut_order(spark, sf_dir):
 
 
 # =====================================================================
+# Filter stack, classification, scalar families (F4-F9, A4, A6, A14, §2.8)
+# =====================================================================
+
+@register(
+    "f_filter_stack",
+    """
+    WITH cleaned AS (
+      SELECT doc_id,
+             trim(regexp_replace(replace(text, chr(65533), '?'), '\\s+', ' ', 'g')) AS clean_text,
+             n_chars
+      FROM documents
+    )
+    SELECT doc_id, clean_text, length(clean_text)::INT AS clean_len
+    FROM cleaned
+    WHERE length(clean_text) > 20 AND n_chars <= 4000 AND clean_text IS NOT NULL
+    """,
+    doc="F4+F5+F8+F9+F12 composed filter pipeline (ContentFilterProcessor."
+        "java:43-67): invalid-char replace, whitespace normalize, tiny-row "
+        "drop, out-of-bounds drop, null compaction — all JVM-side predicates.",
+)
+def f_filter_stack(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    clean = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), "�", "?"), r"\s+", " "
+        )
+    )
+    return (
+        d.select("doc_id", clean.alias("clean_text"), "n_chars")
+        .filter(
+            (F.length("clean_text") > 20)
+            & (F.col("n_chars") <= 4000)
+            & F.col("clean_text").isNotNull()
+        )
+        .select("doc_id", "clean_text", F.length("clean_text").alias("clean_len"))
+    )
+
+
+@register(
+    "a4_heading_classify",
+    """
+    WITH freq AS (
+      SELECT event_type, count(*) AS cnt FROM events GROUP BY event_type
+    ), avg_cnt AS (
+      SELECT avg(cnt) AS ac FROM freq
+    ), w AS (
+      SELECT e.user_id, e.event_id, e.value,
+             coalesce(e.value > lag(e.value)  OVER win, true)  AS peak_prev,
+             coalesce(e.value > lead(e.value) OVER win, true)  AS peak_next,
+             CASE WHEN f.cnt < (SELECT ac FROM avg_cnt) THEN 0.1 ELSE 0.0 END AS rarity
+      FROM events e JOIN freq f USING (event_type)
+      WINDOW win AS (PARTITION BY e.user_id ORDER BY e.event_id)
+    )
+    SELECT user_id, event_id,
+           round(CASE WHEN peak_prev THEN 0.5 ELSE 0.0 END
+               + CASE WHEN peak_next THEN 0.35 ELSE 0.0 END + rarity, 6) AS score,
+           (CASE WHEN peak_prev THEN 0.5 ELSE 0.0 END
+               + CASE WHEN peak_next THEN 0.35 ELSE 0.0 END + rarity) > 0.75 AS is_heading
+    FROM w
+    """,
+    doc="A4 heading classification (HeadingProcessor.java:39-98): lag/lead "
+        "peak predicate + global style-rarity boost joined back (A3), "
+        "threshold classify — rarity dim is a broadcast join.",
+)
+def a4_heading_classify(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    freq = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    avg_cnt = freq.agg(F.avg("cnt").alias("ac"))
+    freq = freq.crossJoin(F.broadcast(avg_cnt)).select(
+        "event_type",
+        F.when(F.col("cnt") < F.col("ac"), 0.1).otherwise(0.0).alias("rarity"),
+    )
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    scored = (
+        ev.join(F.broadcast(freq), "event_type")
+        .withColumn("peak_prev", F.coalesce(F.col("value") > F.lag("value").over(w), F.lit(True)))
+        .withColumn("peak_next", F.coalesce(F.col("value") > F.lead("value").over(w), F.lit(True)))
+    )
+    score = (
+        F.when(F.col("peak_prev"), 0.5).otherwise(0.0)
+        + F.when(F.col("peak_next"), 0.35).otherwise(0.0)
+        + F.col("rarity")
+    )
+    return scored.select(
+        "user_id", "event_id",
+        F.round(score, 6).alias("score"),
+        (score > 0.75).alias("is_heading"),
+    )
+
+
+@register(
+    "a14_special_split",
+    """
+    WITH lines AS (
+      SELECT doc_id, source || ': ' || substr(text, 1, 40) AS line
+      FROM documents
+    )
+    SELECT doc_id,
+           split_part(line, ':', 1) AS k,
+           trim(substr(line, strpos(line, ':') + 1)) AS v
+    FROM lines
+    WHERE regexp_matches(line, '^src[0-9]+\\s*:')
+    """,
+    doc="A14 special-table detection (SpecialTableProcessor.java:22-88): "
+        "rlike grammar match + split each matched line at ':' into a "
+        "2-column key/value row.",
+)
+def a14_special_split(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    line = F.concat(F.col("source"), F.lit(": "), F.substring("text", 1, 40))
+    return (
+        d.select("doc_id", line.alias("line"))
+        .filter(F.col("line").rlike(r"^src[0-9]+\s*:"))
+        .select(
+            "doc_id",
+            F.split_part(F.col("line"), F.lit(":"), F.lit(1)).alias("k"),
+            F.trim(F.expr("substring(line, instr(line, ':') + 1)")).alias("v"),
+        )
+    )
+
+
+@register(
+    "a6_fixpoint_depth",
+    """
+    WITH ranked AS (
+      SELECT date_trunc('day', ts) AS d, event_type,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY event_id) AS rk
+      FROM events
+    ), pairs AS (
+      SELECT rk, d, event_type,
+             lead(event_type) OVER (PARTITION BY rk ORDER BY d) AS next_type
+      FROM ranked WHERE rk <= 8
+    ), frac AS (
+      SELECT rk,
+             CAST(sum(CASE WHEN event_type = next_type THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS repeat_frac
+      FROM pairs WHERE next_type IS NOT NULL GROUP BY rk
+    ), pref AS (
+      SELECT rk, round(repeat_frac, 6) AS repeat_frac,
+             min(CASE WHEN repeat_frac >= 0.1 THEN 1 ELSE 0 END)
+               OVER (ORDER BY rk ROWS UNBOUNDED PRECEDING) AS ok
+      FROM frac
+    )
+    SELECT rk::BIGINT AS rk, repeat_frac FROM pref WHERE ok = 1
+    """,
+    doc="A6 iterative furniture-depth fixpoint (HeaderFooterProcessor.java:"
+        "142-173): driver-side bounded loop, one rank level per iteration, "
+        "early exit when the repeat fraction drops below threshold. Oracle "
+        "recomputes the fixpoint closed-form (prefix property).",
+)
+def a6_fixpoint_depth(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("d"), "event_type", "event_id"
+    )
+    ranked = ev.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("d").orderBy("event_id"))
+    ).filter(F.col("rk") <= 8)
+    ranked = ranked.withColumn(
+        "next_type", F.lead("event_type").over(Window.partitionBy("rk").orderBy("d"))
+    ).filter(F.col("next_type").isNotNull())
+    ranked.cache()  # reused once per fixpoint iteration
+    rows = []
+    for k in range(1, 9):  # bounded loop, early exit — the reference's fixpoint
+        r = (
+            ranked.filter(F.col("rk") == k)
+            .agg(
+                (
+                    F.sum(F.when(F.col("event_type") == F.col("next_type"), 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias("f")
+            )
+            .collect()[0]
+        )
+        if r["f"] is None or r["f"] < 0.1:
+            break
+        rows.append((k, round(r["f"], 6)))
+    ranked.unpersist()
+    schema = "rk long, repeat_frac double"
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
+    "scalar_string_family",
+    """
+    SELECT n_nationkey,
+           base64(encode(n_name))                        AS b64,
+           strpos(n_name, 'A')::INT                      AS pos_a,
+           substr(n_name, 1, 3)                          AS pre,
+           round(n_nationkey / 7.0, 3)                   AS r3,
+           regexp_extract(n_name, '([AEIOU]+)', 1)       AS vowels,
+           json_extract_string(p.props, '$.k')::INT      AS prop_k
+    FROM nation n
+    JOIN (SELECT user_id, min(props) AS props FROM events
+          WHERE user_id < 25 GROUP BY user_id) p
+      ON p.user_id = n.n_nationkey
+    """,
+    doc="§2.8 scalar family: base64 (Base64ImageUtils), locate/substring "
+        "(SpecialTableProcessor.java:61-81), 3-decimal rounding "
+        "(DoubleSerializer), regexp_extract grammar, JSON path extraction.",
+)
+def scalar_string_family(spark, sf_dir):
+    n = _t(spark, sf_dir, "nation")
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") < 25)
+        .groupBy("user_id")
+        .agg(F.min("props").alias("props"))
+    )
+    return (
+        n.join(ev, n.n_nationkey == ev.user_id)
+        .select(
+            "n_nationkey",
+            F.base64(F.encode(F.col("n_name"), "UTF-8")).alias("b64"),
+            F.instr(F.col("n_name"), "A").cast("int").alias("pos_a"),
+            F.substring("n_name", 1, 3).alias("pre"),
+            F.round(F.col("n_nationkey") / 7.0, 3).alias("r3"),
+            F.regexp_extract("n_name", r"([AEIOU]+)", 1).alias("vowels"),
+            F.get_json_object("props", "$.k").cast("int").alias("prop_k"),
+        )
+    )
+
+
+@register(
+    "cdc_lineage_metrics",
+    """
+    SELECT CAST(user_id % 16 AS INT)  AS part,
+           count(*)                   AS n_events,
+           min(event_id)              AS min_seq,
+           max(event_id)              AS max_seq,
+           count(DISTINCT user_id)    AS n_keys
+    FROM events GROUP BY user_id % 16
+    """,
+    doc="North-rule per-partition lineage/event-count metrics (§2.4 note): "
+        "one map-side-combinable agg per partition id — the audit-table "
+        "row the sink commits per micro-batch (storage.py merge).",
+)
+def cdc_lineage_metrics(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.pmod(F.col("user_id"), F.lit(16)).cast("int").alias("part"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_seq"),
+            F.max("event_id").alias("max_seq"),
+            F.countDistinct("user_id").alias("n_keys"),
+        )
+    )
+
+
+@register(
+    "asof_join_last_order",
+    """
+    WITH o1 AS (
+      SELECT o_custkey AS user_id, o_orderdate,
+             max(o_orderkey) AS last_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, o1.last_orderkey
+    FROM events e ASOF LEFT JOIN o1
+      ON e.user_id = o1.user_id AND e.ts >= o1.o_orderdate
+    """,
+    doc="As-of join (operator Spark lacks; reference J2 proximity analog): "
+        "for each event, the latest order at-or-before its timestamp. "
+        "Implemented shuffle-once: tag+union both sides, single window "
+        "last(ignorenulls) per key — no per-key loops, no range explosion.",
+)
+def asof_join_last_order(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("t")
+    )
+    o1 = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_custkey").alias("user_id"),
+            F.unix_timestamp("o_orderdate").alias("t"),
+        )
+        .agg(F.max("o_orderkey").alias("last_orderkey"))
+    )
+    tagged = o1.select(
+        "user_id", "t", F.lit(0).alias("tag"), "last_orderkey",
+        F.lit(None).cast("long").alias("event_id"),
+    ).unionByName(
+        ev.select(
+            "user_id", "t", F.lit(1).alias("tag"),
+            F.lit(None).cast("long").alias("last_orderkey"), "event_id",
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = tagged.withColumn("lk", F.last("last_orderkey", ignorenulls=True).over(w))
+    return out.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", F.col("lk").alias("last_orderkey")
+    )
+
+
+@register(
+    "embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id
+     AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+    """,
+    doc="Embedding-cosine near-dup pairs, exact baseline: broadcast "
+        "self-join + JVM zip_with/aggregate dot product (no UDF); the LSH "
+        "bucketed variant (lsh_topk/minhash) is the 100TB scale path.",
+)
+def embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return S.cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.4)
+
+
+# =====================================================================
 # Sinks (K-family) and multimodal plumbing
 # =====================================================================
 

@@ -1,0 +1,92 @@
+"""spark-submit entry point for the CDC replay engine.
+
+Cluster usage (north rule: "runs via spark-submit --py-files on
+multi-executor clusters"):
+
+    cd /root/repo && zip -qr /tmp/pkg.zip opendataloader_pdf_spark
+    spark-submit --master yarn --deploy-mode cluster \
+        --py-files /tmp/pkg.zip \
+        --conf spark.sql.adaptive.enabled=true \
+        --conf spark.sql.execution.arrow.pyspark.enabled=true \
+        tools/replay_submit.py \
+        --events s3://bucket/cdc/events/ \
+        --table  s3://bucket/lake/tokens_table \
+        --batch-size 50000000
+
+Local smoke:
+
+    spark-submit --master 'local[8]' tools/replay_submit.py \
+        --events /tmp/ev --table /tmp/tbl --gen-events 100000 --gen-docs 10000
+
+The job is resumable: re-submitting with the same --table picks up at the
+sink's last committed batch_id (exactly-once via manifest commit log).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", required=True, help="parquet path of the change stream")
+    p.add_argument("--table", required=True, help="sink table root directory")
+    p.add_argument("--batch-size", type=int, default=1_000_000)
+    p.add_argument("--buckets", type=int, default=64)
+    p.add_argument("--salted", action="store_true",
+                   help="explicit two-phase skew-splitting LWW reduction")
+    p.add_argument("--bootstrap", default=None,
+                   help="optional parquet path of the initial base table")
+    p.add_argument("--gen-events", type=int, default=None,
+                   help="generate a synthetic stream of this many events first")
+    p.add_argument("--gen-docs", type=int, default=10_000)
+    a = p.parse_args()
+
+    # Under spark-submit a session already has master/conf from the CLI;
+    # builder.getOrCreate() attaches to it instead of overriding.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName("cdc-replay")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("WARN")
+
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+
+    if a.gen_events and not os.path.exists(a.events):
+        from opendataloader_pdf_spark.datagen import gen_change_events
+
+        gen_change_events(spark, a.gen_events, a.gen_docs, seed=42).write.mode(
+            "overwrite"
+        ).parquet(a.events)
+
+    events = spark.read.parquet(a.events)
+    sink = ParquetMergeSink(spark, a.table, n_buckets=a.buckets)
+    engine = ReplayEngine(spark, sink, salted=a.salted)
+    base = spark.read.parquet(a.bootstrap) if a.bootstrap else None
+    engine.bootstrap(base)
+
+    summary = engine.replay(events, batch_size=a.batch_size)
+    print(json.dumps({
+        "events": summary.events,
+        "applied": summary.applied,
+        "batches": len(summary.batches),
+        "secs": round(summary.elapsed, 3),
+        "events_per_sec": round(summary.events / max(summary.elapsed, 1e-9), 1),
+        "final_rows": sink.read().count(),
+        "last_batch_id": sink.last_batch_id(),
+        "snapshot_id": sink.snapshot_id(),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
