@@ -77,11 +77,18 @@ class ReplayEngine:
         sink: ParquetMergeSink,
         registry: dict[int, T.StructType] | None = None,
         salted: bool = False,
+        observe_stats: bool = False,
     ):
         self.spark = spark
         self.sink = sink
         self.registry = registry or default_registry()
         self.salted = salted
+        #: lineage stats strategy: observe-on-write (True) vs cached join +
+        #: grouped stats pass (False). Measured on this box the cached pass
+        #: wins (the per-bucket observe expressions tax every written row);
+        #: on a real cluster with many buckets the cached pass is also the
+        #: safe default.
+        self.observe_stats = observe_stats
 
     def bootstrap(self, base: DataFrame | None = None, version: int = 1) -> None:
         if not self.sink.exists():
@@ -113,17 +120,49 @@ class ReplayEngine:
             batch = events.filter(
                 (F.col("delivery_seq") >= lo) & (F.col("delivery_seq") < hi)
             )
-            n_events = batch.count()
+            # one scan + one shuffle: LWW winner, per-key count, and max
+            # schema version ride the same aggregation; one probe action
+            # learns batch size, target schema AND the affected-bucket
+            # list. The reduced frame is deliberately NOT cached: the
+            # columnar cache-store of token-array rows costs more than the
+            # single recompute the MERGE triggers, and recompute is fully
+            # parallel while cache population is not.
+            # NARROW probe — learns batch size, target schema version and
+            # the affected-bucket list from a column-pruned scan (key +
+            # schema_version only; token arrays are never read here).
+            probe = (
+                batch.groupBy(
+                    F.pmod(
+                        F.xxhash64(F.col(self.sink.key)),
+                        F.lit(self.sink.n_buckets),
+                    ).cast("int").alias("bucket")
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("schema_version").alias("v"),
+                )
+                .collect()
+            )
+            n_events = int(sum(r["n"] for r in probe))
             if n_events:
-                ver_row = batch.agg(F.max("schema_version").alias("v")).collect()[0]
+                ver = max(int(r["v"]) for r in probe)
+                affected = sorted(r["bucket"] for r in probe)
                 target = diff_schemas(
-                    self.sink.current_schema(), self.registry[int(ver_row["v"])]
+                    self.sink.current_schema(), self.registry[ver]
                 )
                 self.sink.evolve_schema(target)
-                reduced = reduce_batch(
-                    batch.drop("schema_version", "ts"), salted=self.salted
+                # WIDE pass — exactly one per batch: reduce + MERGE join +
+                # snapshot write, with per-bucket lineage stats observed on
+                # the write action itself (zero extra passes).
+                reduced = self.sink._bucketed(
+                    reduce_batch(
+                        batch.drop("schema_version", "ts"), salted=self.salted
+                    )
                 )
-                stats = self.sink.merge(reduced, batch_id=b)
+                stats = self.sink.merge(
+                    reduced, batch_id=b, affected=affected,
+                    observe_stats=self.observe_stats,
+                )
             else:
                 stats = self.sink.merge(
                     self.spark.createDataFrame([], self._empty_change_schema()), batch_id=b

@@ -158,7 +158,7 @@ class ParquetMergeSink:
                 cols.append(c.alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        extra = [c for c in df.columns if c in ("bucket", "_deleted")]
+        extra = [c for c in df.columns if c in ("bucket", "_deleted", "op")]
         return df.select(*cols, *extra)
 
     def read(self, buckets: list[int] | None = None, with_bucket: bool = False,
@@ -223,11 +223,55 @@ class ParquetMergeSink:
         self._commit(m)
         return new_id
 
-    def merge(self, changes: DataFrame, batch_id: int) -> dict | None:
+    def narrow_state(self) -> DataFrame:
+        """Current (key, lsn, tombstone) state — column-pruned read of the
+        whole table (a few bytes/row). Used by the replay loop to compute
+        win/stale/insert audit stats inside its probe action instead of a
+        second pass over the wide MERGE join."""
+        return self.read(with_bucket=False, include_deleted=True).select(
+            F.col(self.key),
+            F.col(self.order).alias("_t_lsn"),
+            F.col("_deleted").alias("_t_del"),
+        )
+
+    def _write_audit(self, batch_id: int, rows: list[dict]) -> None:
+        """Persist per-bucket lineage rows. The rows are already on the
+        driver (a few dozen per batch) — write with pyarrow directly
+        instead of paying a Spark job (~0.35s of fixed single-task latency
+        per micro-batch; a LocalRelation write is worse, ~5s in PySpark 4)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        names = ["batch_id", "snapshot_id", "bucket", "updated", "inserted",
+                 "deleted", "stale", "min_lsn", "max_lsn"]
+        adir = os.path.join(self.audit_dir, f"batch_id={batch_id}")
+        os.makedirs(adir, exist_ok=True)
+        pq.write_table(
+            pa.table(
+                {n: [row[n] for row in rows] for n in names},
+                schema=pa.schema([
+                    (n, pa.int32() if n == "bucket" else pa.int64()) for n in names
+                ]),
+            ),
+            os.path.join(adir, "part-0.parquet"),
+        )
+
+    def merge(self, changes: DataFrame, batch_id: int,
+              affected: list[int] | None = None,
+              audit_rows: list[dict] | None = None,
+              observe_stats: bool = False) -> dict | None:
         """LSN-guarded MERGE of a reduced batch (one row per key, with an
         ``op`` column) into the table. Copy-on-write on affected buckets
         only. Returns per-batch metrics dict, or None if the batch was
         already committed (idempotent no-op).
+
+        ``changes`` may arrive pre-bucketed (a ``bucket`` column) with the
+        ``affected`` bucket list already known — the replay loop learns
+        both from its stats probe, saving a distinct+collect here. When
+        ``audit_rows`` (per-bucket win/stale/insert counts, computed in the
+        caller's probe via a narrow key+lsn join) is supplied, the wide
+        MERGE join runs exactly once — for the snapshot write — with no
+        cache and no second stats pass.
 
         Semantics (the reference's keep-later dedup rule, F2, as a MERGE):
           WHEN MATCHED  AND c.lsn > t.lsn AND op IN (insert,update) → UPDATE
@@ -235,14 +279,26 @@ class ParquetMergeSink:
           WHEN NOT MATCHED AND op != delete                         → INSERT
           stale (c.lsn <= t.lsn) → ignored (late replays are no-ops)
         """
+        import os as _os
+        _timing = _os.environ.get("SPARK_GRAFT_MERGE_TIMING") == "1"
+        _t = time.time()
+
+        def _mark(label):
+            nonlocal _t
+            if _timing:
+                print(f"  merge[{batch_id}] {label}: {time.time() - _t:.2f}s", flush=True)
+            _t = time.time()
+
         m = self.manifest()
         if batch_id <= m["batch_id"]:
             return None  # already committed — exactly-once under retries
         schema = self.current_schema()
         table_cols = [f.name for f in schema.fields]
 
-        ch = self._bucketed(changes)
-        affected = sorted(r["bucket"] for r in ch.select("bucket").distinct().collect())
+        ch = changes if "bucket" in changes.columns else self._bucketed(changes)
+        if affected is None:
+            affected = sorted(r["bucket"] for r in ch.select("bucket").distinct().collect())
+        _mark("affected")
         if not affected:
             m["snapshot_id"] += 1
             m["batch_id"] = batch_id
@@ -253,8 +309,8 @@ class ParquetMergeSink:
                     "inserted": 0, "stale": 0, "buckets": []}
 
         base = self.read(buckets=affected, with_bucket=True, include_deleted=True)
-        c = self._align(ch.drop("op", "delivery_seq"), schema)
-        c = c.join(ch.select(self.key, "op"), on=self.key, how="inner")
+        # _align keeps op/bucket as pass-through extras — no re-join needed
+        c = self._align(ch.drop("delivery_seq"), schema)
         c = c.select(*[F.col(x).alias(f"c_{x}") for x in table_cols], F.col("op"),
                      F.col("bucket").alias("c_bucket"))
 
@@ -284,7 +340,35 @@ class ParquetMergeSink:
             is_change.alias("_chg"),
             F.col(f"c_{self.order}").alias("_clsn"),
         )
+        # stats strategy, fastest first:
+        #   observe_stats — per-bucket lineage aggregates ride the write
+        #     action via Observation (one wide pass total, no cache);
+        #     falls back past ~256 buckets where the expression count and
+        #     single-row agg buffer get unwieldy.
+        #   audit_rows   — caller precomputed them.
+        #   neither      — cache the join, write, then a grouped stats pass.
+        use_observe = observe_stats and audit_rows is None and len(affected) <= 256
+        if audit_rows is None and not use_observe:
+            merged = merged.cache()
         out = merged.filter(F.col("_was") | F.col("_wins"))
+
+        obs = None
+        if use_observe:
+            from pyspark.sql import Observation
+
+            obs = Observation(f"merge-{batch_id}")
+            exprs = []
+            for bk in affected:
+                hit = F.col("bucket") == bk
+                exprs += [
+                    F.sum(F.when(hit & F.col("_wins") & ~F.col("_del") & F.col("_was"), 1).otherwise(0)).alias(f"u{bk}"),
+                    F.sum(F.when(hit & F.col("_wins") & ~F.col("_del") & ~F.col("_was"), 1).otherwise(0)).alias(f"i{bk}"),
+                    F.sum(F.when(hit & F.col("_wins") & F.col("_del"), 1).otherwise(0)).alias(f"d{bk}"),
+                    F.sum(F.when(hit & F.col("_chg") & ~F.col("_wins"), 1).otherwise(0)).alias(f"s{bk}"),
+                    F.min(F.when(hit & F.col("_chg"), F.col("_clsn"))).alias(f"lo{bk}"),
+                    F.max(F.when(hit & F.col("_chg"), F.col("_clsn"))).alias(f"hi{bk}"),
+                ]
+            out = out.observe(obs, *exprs)
 
         sid = m["snapshot_id"] + 1
         snap_rel = f"snap-{sid}"
@@ -292,48 +376,61 @@ class ParquetMergeSink:
         (
             out.select(*table_cols, "_deleted", "bucket")
             .repartition(len(affected), "bucket")
-            .sortWithinPartitions(self.key)
+            # bucket first: hash collisions put >1 bucket in a task, and the
+            # dynamic-partition writer degrades badly when rows interleave
+            # across partition dirs — cluster by bucket, then key.
+            .sortWithinPartitions("bucket", self.key)
             .write.partitionBy("bucket")
             .mode("overwrite")
             .parquet(snap_dir)
         )
+        _mark("write")
 
-        # ---- lineage / metrics (per affected bucket) — one extra agg pass
-        stats = (
-            merged.groupBy("bucket")
-            .agg(
-                F.sum(F.when(F.col("_wins") & ~F.col("_del") & F.col("_was"), 1).otherwise(0)).alias("updated"),
-                F.sum(F.when(F.col("_wins") & ~F.col("_del") & ~F.col("_was"), 1).otherwise(0)).alias("inserted"),
-                F.sum(F.when(F.col("_wins") & F.col("_del"), 1).otherwise(0)).alias("deleted"),
-                F.sum(F.when(F.col("_chg") & ~F.col("_wins"), 1).otherwise(0)).alias("stale"),
-                F.max(F.when(F.col("_chg"), F.col("_clsn"))).alias("max_lsn"),
-                F.min(F.when(F.col("_chg"), F.col("_clsn"))).alias("min_lsn"),
+        if use_observe:
+            vals = obs.get
+            audit = [
+                {
+                    "batch_id": batch_id, "snapshot_id": sid, "bucket": bk,
+                    "updated": vals[f"u{bk}"] or 0, "inserted": vals[f"i{bk}"] or 0,
+                    "deleted": vals[f"d{bk}"] or 0, "stale": vals[f"s{bk}"] or 0,
+                    "min_lsn": vals[f"lo{bk}"], "max_lsn": vals[f"hi{bk}"],
+                }
+                for bk in affected
+            ]
+        elif audit_rows is None:
+            # ---- lineage / metrics (per affected bucket) — one agg pass
+            # over the cached join
+            stats = (
+                merged.groupBy("bucket")
+                .agg(
+                    F.sum(F.when(F.col("_wins") & ~F.col("_del") & F.col("_was"), 1).otherwise(0)).alias("updated"),
+                    F.sum(F.when(F.col("_wins") & ~F.col("_del") & ~F.col("_was"), 1).otherwise(0)).alias("inserted"),
+                    F.sum(F.when(F.col("_wins") & F.col("_del"), 1).otherwise(0)).alias("deleted"),
+                    F.sum(F.when(F.col("_chg") & ~F.col("_wins"), 1).otherwise(0)).alias("stale"),
+                    F.max(F.when(F.col("_chg"), F.col("_clsn"))).alias("max_lsn"),
+                    F.min(F.when(F.col("_chg"), F.col("_clsn"))).alias("min_lsn"),
+                )
+                .collect()
             )
-            .collect()
-        )
-        audit = [
-            {
-                "batch_id": batch_id, "snapshot_id": sid, "bucket": r["bucket"],
-                "updated": r["updated"] or 0, "inserted": r["inserted"] or 0,
-                "deleted": r["deleted"] or 0, "stale": r["stale"] or 0,
-                "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
-            }
-            for r in stats
-        ]
-        audit_schema = T.StructType([
-            T.StructField("batch_id", T.LongType()),
-            T.StructField("snapshot_id", T.LongType()),
-            T.StructField("bucket", T.IntegerType()),
-            T.StructField("updated", T.LongType()),
-            T.StructField("inserted", T.LongType()),
-            T.StructField("deleted", T.LongType()),
-            T.StructField("stale", T.LongType()),
-            T.StructField("min_lsn", T.LongType()),
-            T.StructField("max_lsn", T.LongType()),
-        ])
-        self.spark.createDataFrame(audit, audit_schema).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(os.path.join(self.audit_dir, f"batch_id={batch_id}"))
+            _mark("stats")
+            audit = [
+                {
+                    "batch_id": batch_id, "snapshot_id": sid, "bucket": r["bucket"],
+                    "updated": r["updated"] or 0, "inserted": r["inserted"] or 0,
+                    "deleted": r["deleted"] or 0, "stale": r["stale"] or 0,
+                    "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
+                }
+                for r in stats
+            ]
+        else:
+            audit = [
+                {**row, "batch_id": batch_id, "snapshot_id": sid}
+                for row in audit_rows
+            ]
+        self._write_audit(batch_id, audit)
+        _mark("audit-write")
+        if audit_rows is None and not use_observe:
+            merged.unpersist()
 
         # ---- commit: new manifest, atomic HEAD swap
         for b in affected:
