@@ -56,6 +56,42 @@ def interval_containment_join(
     return j.drop("_b")
 
 
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    a_lo: str, a_hi: str, b_lo: str, b_hi: str,
+    bucket_width: float,
+    min_fraction: float = 0.0,
+    how: str = "inner",
+) -> DataFrame:
+    """Join interval rows of ``a`` to interval rows of ``b`` that overlap
+    them (optionally by more than ``min_fraction`` of a's length).
+
+    Both sides explode to their grid buckets; the equi-join on the bucket
+    prunes pairs; the exact overlap predicate refines; ``dropDuplicates``
+    removes multi-bucket double-matches. This is the scale form of the
+    reference's table-overlap rejection scan (A13,
+    AbstractTableProcessor.java:63-82)."""
+    def bucketed(df, lo, hi):
+        return df.withColumn(
+            "_b",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(lo) / F.lit(bucket_width)).cast("long"),
+                    F.floor((F.col(hi) - F.lit(1e-12)) / F.lit(bucket_width)).cast("long"),
+                )
+            ),
+        )
+    ja = bucketed(a, a_lo, a_hi)
+    jb = bucketed(b, b_lo, b_hi)
+    j = ja.join(jb, on="_b", how=how)
+    frac = overlap_fraction(F.col(a_lo), F.col(a_hi), F.col(b_lo), F.col(b_hi))
+    j = j.filter(
+        (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi)) & (frac > min_fraction)
+    )
+    return j.drop("_b")
+
+
 def overlap_fraction(
     a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column
 ) -> Column:

@@ -1123,6 +1123,220 @@ def k2_markdown_render(spark, sf_dir):
 
 
 @register(
+    "k3_html_render",
+    """
+    SELECT '<tr><td>' || n_nationkey || '</td><td>'
+           || replace(replace(replace(n_name, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+           || '</td></tr>' AS html
+    FROM nation
+    """,
+    doc="K3 HTML sink rendering with entity escaping "
+        "(HtmlGenerator.java:88-310) as JVM concat expressions.",
+)
+def k3_html_render(spark, sf_dir):
+    from opendataloader_pdf_spark.sinks import to_html_rows
+
+    return to_html_rows(_t(spark, sf_dir, "nation"), ["n_nationkey", "n_name"])
+
+
+@register(
+    "k4_text_lines",
+    """
+    SELECT text AS value FROM documents WHERE doc_id % 10 = 0
+    """,
+    doc="K4 plain-text sink projection (TextGenerator.java), order "
+        "materialized before write (O4).",
+)
+def k4_text_lines(spark, sf_dir):
+    from opendataloader_pdf_spark.sinks import to_text_rows
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 10 == 0)
+    return to_text_rows(d, "text", order=[F.asc("doc_id")])
+
+
+@register(
+    "f3_decoration_filter",
+    """
+    WITH w AS (
+      SELECT user_id, event_id, event_type, value,
+             lag(value)      OVER win AS p_value,
+             lag(event_type) OVER win AS p_type
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+    )
+    SELECT user_id, event_id, event_type, value
+    FROM w
+    WHERE NOT coalesce(event_type = p_type AND abs(value - p_value) <= 0.5, false)
+    """,
+    doc="F3 decoration filter (TextProcessor.java:107-125): drop rows that "
+        "tightly wrap their predecessor (same type, |Δvalue| ≤ ε) — lag "
+        "window + geometric predicate.",
+)
+def f3_decoration_filter(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type", "value")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    deco = (
+        (F.col("event_type") == F.lag("event_type").over(w))
+        & (F.abs(F.col("value") - F.lag("value").over(w)) <= 0.5)
+    )
+    return (
+        ev.withColumn("_deco", F.coalesce(deco, F.lit(False)))
+        .filter(~F.col("_deco"))
+        .drop("_deco")
+    )
+
+
+@register(
+    "a8_label_intervals",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             regexp_matches(event_type, '^(click|view)$') AS is_label,
+             CASE WHEN regexp_matches(event_type, '^(click|view)$')
+                   AND coalesce(NOT regexp_matches(lag(event_type) OVER win, '^(click|view)$'), true)
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+    ), seg AS (
+      SELECT user_id, event_id,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS interval_id
+      FROM flagged WHERE is_label
+    )
+    SELECT user_id, interval_id,
+           count(*) AS n_items, min(event_id) AS first_id, max(event_id) AS last_id
+    FROM seg GROUP BY user_id, interval_id
+    HAVING count(*) >= 2
+    """,
+    doc="A8 list-interval detection (ListProcessor.java:103-193): label "
+        "grammar rlike match, grow maximal runs of consecutive labeled "
+        "rows (boundary flag → running segment id), keep intervals ≥ 2.",
+)
+def a8_label_intervals(spark, sf_dir):
+    label = F.col("event_type").rlike("^(click|view)$")
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.withColumn("is_label", label).withColumn(
+        "boundary",
+        F.when(
+            F.col("is_label")
+            & F.coalesce(
+                ~F.lag("event_type").over(w).rlike("^(click|view)$"), F.lit(True)
+            ),
+            1,
+        ).otherwise(0),
+    )
+    seg = (
+        flagged.withColumn(
+            "interval_id",
+            F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .filter(F.col("is_label"))
+    )
+    return (
+        seg.groupBy("user_id", "interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+        )
+        .filter(F.col("n_items") >= 2)
+    )
+
+
+@register(
+    "a11_cluster_1d",
+    """
+    WITH ordered AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS x,
+             CASE WHEN l_extendedprice - lag(l_extendedprice) OVER win > 500
+                   OR lag(l_extendedprice) OVER win IS NULL
+                  THEN 1 ELSE 0 END AS boundary
+      FROM lineitem
+      WINDOW win AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+    ), seg AS (
+      SELECT grp, x,
+             sum(boundary) OVER (PARTITION BY grp ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS cluster_id
+      FROM ordered
+    )
+    SELECT grp, cluster_id, count(*) AS n,
+           CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+    FROM seg GROUP BY grp, cluster_id
+    """,
+    doc="A11 spatial cluster detection (ClusterTableProcessor.java:43-70): "
+        "1-D gap clustering — sort within group, break where the gap "
+        "exceeds a threshold, aggregate cluster extents. The 2-D table "
+        "clustering composes this per axis.",
+)
+def a11_cluster_1d(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_extendedprice").alias("x"),
+        "l_orderkey", "l_linenumber",
+    )
+    w = Window.partitionBy("grp").orderBy("x", "l_orderkey", "l_linenumber")
+    seg = li.withColumn(
+        "boundary",
+        F.when(
+            (F.col("x") - F.lag("x").over(w) > 500)
+            | F.lag("x").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "cluster_id",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return seg.groupBy("grp", "cluster_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("x").cast("double").alias("lo"),
+        F.max("x").cast("double").alias("hi"),
+    )
+
+
+@register(
+    "a13_overlap_reject",
+    """
+    WITH existing AS (
+      SELECT p_partkey, p_retailprice AS lo, p_retailprice + 1 AS hi
+      FROM part WHERE p_partkey % 37 = 0
+    ), cand AS (
+      SELECT p_partkey, p_retailprice AS lo, p_retailprice + 1 AS hi
+      FROM part WHERE p_partkey % 37 <> 0
+    )
+    SELECT c.p_partkey AS partkey
+    FROM cand c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e
+      WHERE c.lo < e.hi AND e.lo < c.hi
+        AND least(c.hi, e.hi) - greatest(c.lo, e.lo) > 0.01 * (c.hi - c.lo)
+    )
+    """,
+    doc="A13 overlap-rejection anti-join (AbstractTableProcessor.java:63-82):"
+        " drop candidate intervals overlapping any existing interval >1%, "
+        "via grid-bucket equi-prejoin — never a cartesian.",
+)
+def a13_overlap_reject(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("lo"),
+        (F.col("p_retailprice") + 1).alias("hi"),
+    )
+    existing = p.filter(F.col("p_partkey") % 37 == 0).select(
+        F.col("lo").alias("e_lo"), F.col("hi").alias("e_hi")
+    )
+    cand = p.filter(F.col("p_partkey") % 37 != 0)
+    hits = sp.interval_overlap_join(
+        cand, existing, "lo", "hi", "e_lo", "e_hi",
+        bucket_width=1.0, min_fraction=0.01,
+    ).select("p_partkey").distinct()
+    return (
+        cand.join(hits, "p_partkey", "left_anti")
+        .select(F.col("p_partkey").alias("partkey"))
+    )
+
+
+@register(
     "k1_json_lines", None,
     doc="K1 JSON sink: whole-row to_json(struct(*)) (JsonWriter.java:41-77); "
         "rows-only (JSON field ordering is engine-specific).",

@@ -35,6 +35,22 @@ def to_markdown_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
     return df.select(line.alias("md"))
 
 
+def to_html_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """HTML table rows — K3 HtmlGenerator (core/html/HtmlGenerator.java:
+    88-310) as concat expressions: '<tr><td>a</td><td>b</td></tr>' per
+    row, with minimal entity escaping (&, <, >)."""
+    cols = cols or df.columns
+    def esc(c):
+        s = F.coalesce(F.col(c).cast("string"), F.lit(""))
+        s = F.regexp_replace(s, "&", "&amp;")
+        s = F.regexp_replace(s, "<", "&lt;")
+        return F.regexp_replace(s, ">", "&gt;")
+    cells = [F.concat(F.lit("<td>"), esc(c), F.lit("</td>")) for c in cols]
+    return df.select(
+        F.concat(F.lit("<tr>"), F.concat(*cells), F.lit("</tr>")).alias("html")
+    )
+
+
 def markdown_header(cols: list[str]) -> list[str]:
     return [
         "| " + " | ".join(cols) + " |",

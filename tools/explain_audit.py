@@ -1,0 +1,109 @@
+"""Physical-plan audit: for each headline catalog query, record the
+plan properties that matter at 100 TB — pushed filters, pruned read
+schemas, join strategies (broadcast vs shuffle), and whole-stage-codegen
+coverage — into PLANS.md.
+
+    python tools/explain_audit.py [sf_dir]
+
+The point is evidence, not vibes: a scan that reads all columns for a
+2-column projection, or a dim join that shuffles instead of
+broadcasting, shows up here as a red flag.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+AUDITED = [
+    "q1_pricing_summary",
+    "q3_segment_revenue",
+    "q5_nation_revenue",
+    "f2_dedup_lww",
+    "a1_sessionize_gap",
+    "j1_interval_containment",
+    "a12_existence_prune",
+    "j7_anti_join",
+    "asof_join_last_order",
+    "cdc_lineage_metrics",
+    "cosine_topk",
+    "token_pipeline",
+    "a13_overlap_reject",
+]
+
+
+def plan_text(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def summarize(plan: str) -> dict:
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    return {
+        "scans": len(re.findall(r"\(\d+\) Scan parquet", plan)),
+        "pushed_filters": [p for p in pushed if p.strip()],
+        "read_cols": [len(s.split(",")) if s.strip() else 0 for s in schemas],
+        "broadcast_joins": len(re.findall(r"BroadcastHashJoin", plan)),
+        "shuffle_joins": len(re.findall(r"SortMergeJoin|ShuffledHashJoin", plan)),
+        "bnl_joins": len(re.findall(r"BroadcastNestedLoopJoin", plan)),
+        "codegen_spans": len(set(re.findall(r"codegen id : (\d+)", plan))),
+        "exchanges": len(re.findall(r"Exchange ", plan)),
+        "python_udf": len(re.findall(r"ArrowEvalPython|BatchEvalPython|FlatMapGroupsInPandas|MapInPandas", plan)),
+    }
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from opendataloader_pdf_spark.queries import QUERIES
+    from opendataloader_pdf_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit", master="local[8]",
+                      shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = io.StringIO()
+    out.write("# PLANS — physical-plan audit of headline queries\n\n")
+    out.write(f"Source: `tools/explain_audit.py` on `{sf_dir}`. ")
+    out.write("Columns: parquet scans / filters pushed to the scan / "
+              "columns actually read per scan (pruning) / join strategies / "
+              "WholeStageCodegen spans / shuffles / Arrow-Python stages.\n\n")
+    out.write("| query | scans | pushed | read cols/scan | bcast | shuffle-join | BNLJ | codegen | exchanges | py-arrow |\n")
+    out.write("|---|---|---|---|---|---|---|---|---|---|\n")
+    details = []
+    for name in AUDITED:
+        df = QUERIES[name].fn(spark, sf_dir)
+        plan = plan_text(df)
+        s = summarize(plan)
+        out.write(
+            f"| {name} | {s['scans']} | {len(s['pushed_filters'])} | "
+            f"{s['read_cols']} | {s['broadcast_joins']} | {s['shuffle_joins']} | "
+            f"{s['bnl_joins']} | {s['codegen_spans']} | {s['exchanges']} | {s['python_udf']} |\n"
+        )
+        if s["pushed_filters"]:
+            details.append(f"### {name}\nPushed: " + "; ".join(
+                f"`[{p}]`" for p in s["pushed_filters"]) + "\n")
+    out.write("\nNotes:\n")
+    out.write("- `cosine_topk`'s BroadcastNestedLoopJoin is the intended "
+              "broadcast of the small query side (exact ANN baseline); the "
+              "LSH variants replace it at scale.\n")
+    out.write("- Arrow-Python stages appear only where SURVEY.md §2 calls "
+              "for vectorized UDFs (token ops); relational operators stay "
+              "JVM-side.\n")
+    out.write("- codegen ids are assigned at execution time under AQE, so "
+              "adaptive plans report 0 here; non-adaptive plans (e.g. "
+              "token_pipeline) show their spans. Shuffle/broadcast columns "
+              "are the static pre-AQE choice.\n\n")
+    out.write("\n".join(details))
+    with open("/root/repo/PLANS.md", "w") as f:
+        f.write(out.getvalue())
+    print(out.getvalue())
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
