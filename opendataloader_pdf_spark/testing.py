@@ -13,18 +13,27 @@ import pandas as pd
 
 
 def expected_final_state(events: pd.DataFrame, base: pd.DataFrame | None = None) -> pd.DataFrame:
-    """Replay semantics in pandas: dedup (doc_id, lsn), keep max-lsn event
-    per doc (LWW), apply vs base with LSN guard; delete removes the row.
+    """Replay semantics in pandas: dedup (doc_id, lsn), then fold each
+    doc's events in pure LSN order with the guard:
+
+    * insert/update — replace the row (skip if lsn ≤ current row lsn);
+    * delete        — tombstone (row removed from output, lsn kept as guard);
+    * patch         — splice (start/del clamped to bounds, insert payload
+      from ``tokens``) iff a LIVE row with smaller lsn exists; a patch
+      finding no live predecessor is dropped — any future write carries a
+      higher lsn, so it could never apply later anyway. This is the
+      batch-independent contract the engine's pending mechanism converges
+      to under bounded out-of-order delivery.
 
     Returns columns: doc_id, tokens, n_tok, source, lang, lsn —
     sorted by doc_id.
     """
     ev = events.sort_values(["doc_id", "lsn", "delivery_seq"])
     ev = ev.drop_duplicates(subset=["doc_id", "lsn"], keep="last")
-    last = ev.groupby("doc_id", as_index=False).tail(1)  # max lsn per doc (sorted)
-    last = ev.sort_values("lsn").groupby("doc_id", as_index=False).last()
+    ev = ev.sort_values(["doc_id", "lsn"])
 
     rows: dict[str, dict] = {}
+    dead_lsn: dict[str, int] = {}  # tombstone guards
     if base is not None:
         for _, r in base.iterrows():
             rows[r["doc_id"]] = {
@@ -35,15 +44,32 @@ def expected_final_state(events: pd.DataFrame, base: pd.DataFrame | None = None)
                 "lang": r.get("lang"),
                 "lsn": r.get("lsn", -1),
             }
-    for _, r in last.iterrows():
-        prev = rows.get(r["doc_id"])
-        if prev is not None and r["lsn"] <= prev["lsn"]:
+    for _, r in ev.iterrows():
+        doc = r["doc_id"]
+        cur = rows.get(doc)
+        guard = cur["lsn"] if cur is not None else dead_lsn.get(doc, -(1 << 62))
+        if r["lsn"] <= guard:
             continue
-        if r["op"] == "delete":
-            rows.pop(r["doc_id"], None)
+        op = r["op"]
+        if op == "delete":
+            rows.pop(doc, None)
+            dead_lsn[doc] = r["lsn"]
+        elif op == "patch":
+            if cur is None:
+                continue  # no live predecessor — dropped (see docstring)
+            t = np.asarray(
+                cur["tokens"] if cur["tokens"] is not None else [], dtype=np.int64
+            )
+            s = int(min(max(r["patch_start"], 0), len(t)))
+            d = int(min(max(r["patch_del"], 0), len(t) - s))
+            ins = np.asarray(
+                r["tokens"] if r["tokens"] is not None else [], dtype=np.int64
+            )
+            nt = np.concatenate((t[:s], ins, t[s + d:]))
+            cur.update({"tokens": nt, "n_tok": len(nt), "lsn": r["lsn"]})
         else:
-            rows[r["doc_id"]] = {
-                "doc_id": r["doc_id"],
+            rows[doc] = {
+                "doc_id": doc,
                 "tokens": r["tokens"],
                 "n_tok": r["n_tok"],
                 "source": r["source"],

@@ -129,3 +129,25 @@ def test_replay_audit_totals_match_table_delta(spark, tmp_path):
     # re-run: everything stale/no-op
     s2 = eng.replay(ev, batch_size=100)
     assert len(s2.batches) == 0
+
+
+def test_iceberg_sink_contract(spark, tmp_path):
+    """Contract parity of the real-cluster sink (runs only when an
+    iceberg-spark-runtime jar is present; the sandbox has none)."""
+    from opendataloader_pdf_spark.session import iceberg_available
+
+    if not iceberg_available():
+        pytest.skip("no iceberg runtime jar in this environment")
+    from opendataloader_pdf_spark.cdc.iceberg import IcebergSink
+    from opendataloader_pdf_spark.cdc import ReplayEngine
+    from opendataloader_pdf_spark.datagen import gen_change_events
+
+    sink = IcebergSink(spark, "db.cdc_contract", n_buckets=8)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    ev = gen_change_events(spark, 5000, 500, seed=11)
+    s = eng.replay(ev, batch_size=2000)
+    assert s.events == 5100
+    again = eng.replay(ev, batch_size=2000)
+    assert len(again.batches) == 0
