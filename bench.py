@@ -38,9 +38,11 @@ BENCH_QUERIES = [
     "o2_xy_cut_order",
 ]
 
-# replay sizing per sf of the driver testdata we're pointed at
+# replay sizing per sf of the driver testdata we're pointed at; sized so
+# per-batch parallel work dominates fixed micro-batch costs (steady-state
+# throughput, not batch-overhead) while keeping the run under ~2 min
 REPLAY_SIZE = {"0.001": (20_000, 2_000), "0.01": (200_000, 20_000),
-               "0.1": (1_000_000, 100_000)}
+               "0.1": (4_000_000, 200_000)}
 
 
 def run_replay(spark, n_events: int, n_docs: int, workdir: str,
@@ -48,7 +50,7 @@ def run_replay(spark, n_events: int, n_docs: int, workdir: str,
     from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
     from opendataloader_pdf_spark.datagen import gen_change_events
 
-    events_path = os.path.join(workdir, "events")
+    events_path = os.path.join(workdir, f"events_{n_events}")
     if not os.path.exists(events_path):
         gen_change_events(spark, n_events, n_docs, seed=42).write.mode(
             "overwrite"

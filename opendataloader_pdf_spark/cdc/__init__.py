@@ -6,5 +6,11 @@ from opendataloader_pdf_spark.cdc.events import (  # noqa: F401
     last_writer_wins,
     reduce_batch,
 )
+from opendataloader_pdf_spark.cdc.patches import (  # noqa: F401
+    merge_pending,
+    reduce_batch_patches,
+    resolve_patches,
+)
 from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink  # noqa: F401
 from opendataloader_pdf_spark.cdc.engine import ReplayEngine  # noqa: F401
+from opendataloader_pdf_spark.cdc.iceberg import IcebergSink  # noqa: F401

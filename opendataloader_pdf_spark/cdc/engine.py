@@ -119,6 +119,13 @@ class ReplayEngine:
             return ReplaySummary()
         n_batches = int(bounds["hi"] // batch_size) + 1
 
+        _timing = os.environ.get("SPARK_GRAFT_ENGINE_TIMING") == "1"
+
+        def _mark(label, t0):
+            if _timing:
+                print(f"  engine[{label}]: {time.time() - t0:.2f}s", flush=True)
+            return time.time()
+
         start = self.sink.last_batch_id() + 1
         # pending (cross-batch orphan-patch) state lags the merge commit by
         # at most one batch after a crash; re-running that batch is safe —
@@ -154,6 +161,7 @@ class ReplayEngine:
                 probe_aggs.append(
                     F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p")
                 )
+            _t = time.time()
             probe = (
                 batch.groupBy(
                     F.pmod(
@@ -164,10 +172,12 @@ class ReplayEngine:
                 .agg(*probe_aggs)
                 .collect()
             )
+            _t = _mark("probe", _t)
             n_events = int(sum(r["n"] for r in probe))
             pending_prev, pending_n = (None, 0)
             if patchable:
                 pending_prev, pending_n = self._read_pending()
+            _t = _mark("pending-read", _t)
             if n_events or pending_n:
                 ver = (max(int(r["v"]) for r in probe) if probe
                        else max(self.registry))
@@ -211,10 +221,12 @@ class ReplayEngine:
                         reduced, batch_id=b, affected=affected,
                         observe_stats=self.observe_stats,
                     )
+                    _t = _mark("reduce+merge", _t)
                     if patchable:
                         # roll HEAD forward (pending is empty here — a
                         # nonempty pending routes through the patch path)
                         self._write_empty_pending(b)
+                    _t = _mark("pending-write", _t)
             else:
                 stats = self.sink.merge(
                     self.spark.createDataFrame([], self._empty_change_schema()), batch_id=b
@@ -246,25 +258,31 @@ class ReplayEngine:
         return os.path.join(root, "_pending") if root else None
 
     def _pending_head(self) -> int:
+        return self._pending_head_state()[0]
+
+    def _pending_head_state(self) -> tuple[int, int]:
+        """(batch_id, row_count) of the latest committed pending set."""
         root = self._pending_root()
         head = root and os.path.join(root, "HEAD")
         if head and os.path.exists(head):
             with open(head) as f:
-                return int(f.read().strip())
-        return -1
+                parts = f.read().split()
+            return int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+        return -1, 0
 
     def _read_pending(self):
         """Latest committed pending set → (DataFrame|None, row_count).
-        Count comes from parquet footers — no job."""
+        The count is recorded in HEAD at write time (from parquet
+        footers, driver-side), so an empty pending costs NO Spark job —
+        the common case for streams that rarely emit patches."""
         root = self._pending_root()
-        b = self._pending_head()
-        if root is None or b < 0:
+        b, n = self._pending_head_state()
+        if root is None or b < 0 or n == 0:
             return None, 0
         path = os.path.join(root, f"batch-{b}")
         if not os.path.isdir(path):
             return None, 0
-        df = self.spark.read.parquet(path)
-        return df, df.count()
+        return self.spark.read.parquet(path), n
 
     def _write_pending(self, batch_id: int, pending) -> None:
         root = self._pending_root()
@@ -273,7 +291,14 @@ class ReplayEngine:
         os.makedirs(root, exist_ok=True)
         path = os.path.join(root, f"batch-{batch_id}")
         pending.coalesce(1).write.mode("overwrite").parquet(path)
-        self._commit_pending_head(batch_id)
+        import pyarrow.parquet as pq
+
+        n = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        self._commit_pending_head(batch_id, n)
 
     def _write_empty_pending(self, batch_id: int) -> None:
         """Advance HEAD with an empty pending set — pyarrow direct write
@@ -294,11 +319,11 @@ class ReplayEngine:
             ]))),
         ])
         pq.write_table(schema.empty_table(), os.path.join(path, "part-0.parquet"))
-        self._commit_pending_head(batch_id)
+        self._commit_pending_head(batch_id, 0)
 
-    def _commit_pending_head(self, batch_id: int) -> None:
+    def _commit_pending_head(self, batch_id: int, n_rows: int) -> None:
         root = self._pending_root()
         tmp = os.path.join(root, f".HEAD.{batch_id}")
         with open(tmp, "w") as f:
-            f.write(str(batch_id))
+            f.write(f"{batch_id} {n_rows}")
         os.replace(tmp, os.path.join(root, "HEAD"))

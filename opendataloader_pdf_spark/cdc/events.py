@@ -92,52 +92,3 @@ def reduce_batch(events: DataFrame, salted: bool = False, n_salts: int = 16) -> 
     for the LSN-guarded MERGE. One shuffle total.
     """
     return last_writer_wins(events, salted=salted, n_salts=n_salts)
-
-
-def reduce_batch_with_stats(
-    events: DataFrame,
-    key: str = "doc_id",
-    order: str = "lsn",
-    version_col: str = "schema_version",
-    salted: bool = False,
-    n_salts: int = 16,
-) -> DataFrame:
-    """LWW reduction that ALSO carries per-key event count and max schema
-    version (``_cnt``, ``_ver``) through the same single shuffle.
-
-    This lets the replay loop learn batch size + target schema version
-    from one cheap aggregate over the (cached) reduced output instead of
-    re-scanning the event slice twice (count + max-version were separate
-    full scans before — ~2 extra passes per micro-batch). All three
-    aggregates are associative → map-side combined; salted mode composes
-    them across the two phases exactly (sum of counts, max of maxes).
-    """
-    payload = [c for c in events.columns if c != key]
-    winner = F.max_by(F.struct(*payload), F.col(order))
-
-    if salted:
-        salt = F.pmod(F.xxhash64(F.col(order)), F.lit(n_salts))
-        pre = (
-            events.withColumn("_salt", salt)
-            .groupBy(key, "_salt")
-            .agg(
-                winner.alias("_w"),
-                F.count(F.lit(1)).alias("_cnt"),
-                F.max(version_col).alias("_ver"),
-            )
-        )
-        out = pre.groupBy(key).agg(
-            F.max_by(F.col("_w"), F.col(f"_w.{order}")).alias("_w"),
-            F.sum("_cnt").alias("_cnt"),
-            F.max("_ver").alias("_ver"),
-        )
-    else:
-        out = events.groupBy(key).agg(
-            winner.alias("_w"),
-            F.count(F.lit(1)).alias("_cnt"),
-            F.max(version_col).alias("_ver"),
-        )
-    keep = [c for c in payload if c != version_col]
-    return out.select(
-        key, *[F.col(f"_w.{c}").alias(c) for c in keep], "_cnt", "_ver"
-    )

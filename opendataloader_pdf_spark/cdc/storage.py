@@ -223,17 +223,6 @@ class ParquetMergeSink:
         self._commit(m)
         return new_id
 
-    def narrow_state(self) -> DataFrame:
-        """Current (key, lsn, tombstone) state — column-pruned read of the
-        whole table (a few bytes/row). Used by the replay loop to compute
-        win/stale/insert audit stats inside its probe action instead of a
-        second pass over the wide MERGE join."""
-        return self.read(with_bucket=False, include_deleted=True).select(
-            F.col(self.key),
-            F.col(self.order).alias("_t_lsn"),
-            F.col("_deleted").alias("_t_del"),
-        )
-
     def _write_audit(self, batch_id: int, rows: list[dict]) -> None:
         """Persist per-bucket lineage rows. The rows are already on the
         driver (a few dozen per batch) — write with pyarrow directly

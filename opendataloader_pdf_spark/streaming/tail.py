@@ -21,6 +21,11 @@ LSN-guarded, so late/out-of-order micro-batches can never regress a row
 Watermarks are deliberately unused: ordering authority is the LSN column,
 not event time (north rule; SURVEY.md §2.9 "correctness comes from
 LWW-by-LSN, not event-time watermarks").
+
+Partial-update (op='patch') streams need the cross-batch pending-patch
+state the batch ReplayEngine maintains (cdc/patches.py); tail full-write
+streams here, and replay patch-bearing logs with ReplayEngine (its
+checkpointing covers the unbounded case batch-by-batch).
 """
 
 from __future__ import annotations

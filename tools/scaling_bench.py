@@ -47,7 +47,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def child(cpus: int, events_path: str, workdir: str, batch_size: int) -> None:
+def child(cpus: int, events_path: str, workdir: str, batch_size: int,
+          attempts: int = 3) -> None:
     """Run the replay at local[cpus] and print one JSON line."""
     from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
     from opendataloader_pdf_spark.session import get_spark
@@ -90,7 +91,7 @@ def child(cpus: int, events_path: str, workdir: str, batch_size: int) -> None:
 
     table = os.path.join(workdir, f"table_{cpus}")
     best = None
-    for attempt in range(2):  # best-of-2: first run also warms write paths
+    for attempt in range(attempts):  # best-of-N damps host-load variance; run 1 warms write paths
         sink = ParquetMergeSink(spark, table, n_buckets=32)  # layout fixed across cluster sizes
         sink.drop()
         eng = ReplayEngine(spark, sink)
@@ -115,11 +116,12 @@ def child(cpus: int, events_path: str, workdir: str, batch_size: int) -> None:
     spark.stop()
 
 
-def run_level(cpus: int, events_path: str, workdir: str, batch_size: int) -> dict:
+def run_level(cpus: int, events_path: str, workdir: str, batch_size: int,
+              attempts: int = 3) -> dict:
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
          "--events-path", events_path, "--workdir", workdir,
-         "--batch-size", str(batch_size)],
+         "--batch-size", str(batch_size), "--attempts", str(attempts)],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     if out.returncode != 0:
@@ -140,10 +142,31 @@ def main() -> None:
     p.add_argument("--docs", type=int, default=200_000)
     p.add_argument("--batch-size", type=int, default=1_000_000)
     p.add_argument("--levels", default="2,8")
+    p.add_argument("--attempts", type=int, default=2,
+               help="replays per level per trial in one JVM; the first "
+                    "warms write paths/JIT, the best is reported")
+    p.add_argument("--trials", type=int, default=3,
+                   help="interleaved level pairs; the headline efficiency "
+                        "is the MEDIAN of per-trial ratios (host-load "
+                        "drift hits both levels of a trial equally)")
+    p.add_argument("--save-level", default=None,
+                   help="also save each level's JSON to <prefix>.<cpus>.json")
+    p.add_argument("--assemble", nargs="+", default=None,
+                   help="skip running: assemble BENCH/BASELINE.md from "
+                        "per-level JSON files written by --save-level")
     a = p.parse_args()
 
     if a.child is not None:
-        child(a.child, a.events_path, a.workdir, a.batch_size)
+        child(a.child, a.events_path, a.workdir, a.batch_size, a.attempts)
+        return
+
+    if a.assemble:
+        results = {}
+        for path in a.assemble:
+            with open(path) as f:
+                r = json.load(f)
+            results[int(r["cpus"])] = r
+        write_report(results, sorted(results), a)
         return
 
     os.makedirs(a.workdir, exist_ok=True)
@@ -162,22 +185,53 @@ def main() -> None:
         spark.stop()
 
     levels = [int(x) for x in a.levels.split(",")]
-    results = {}
-    for cpus in levels:
-        print(f"-- running local[{cpus}] ...", file=sys.stderr)
-        results[cpus] = run_level(cpus, events_path, a.workdir, a.batch_size)
-        print(f"   {results[cpus]}", file=sys.stderr)
+    # interleaved trials: each trial runs BOTH levels back-to-back in
+    # fresh JVMs, so slow host periods (shared-VM noise) hit the two
+    # levels of a trial roughly equally and mostly cancel in the ratio;
+    # the headline efficiency is the MEDIAN of per-trial ratios.
+    trials: list[dict[int, dict]] = []
+    for t in range(a.trials):
+        tr = {}
+        for cpus in levels:
+            print(f"-- trial {t + 1}/{a.trials} local[{cpus}] ...", file=sys.stderr)
+            tr[cpus] = run_level(cpus, events_path, a.workdir, a.batch_size,
+                                 attempts=a.attempts)
+            print(f"   {tr[cpus]}", file=sys.stderr)
+        trials.append(tr)
+    # per-level best (for the throughput table) + median-of-ratio headline
+    results = {
+        c: max((tr[c] for tr in trials), key=lambda r: r["events_per_sec"])
+        for c in levels
+    }
+    if a.save_level:
+        for c in levels:
+            with open(f"{a.save_level}.{c}.json", "w") as f:
+                json.dump(results[c], f)
+    write_report(results, levels, a, trials)
 
+
+def write_report(results: dict[int, dict], levels: list[int], a,
+                 trials: list[dict[int, dict]] | None = None) -> None:
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
-    speedup = results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
-    eff = speedup / ratio
+    if trials:
+        per_trial = sorted(
+            (tr[hi]["events_per_sec"] / tr[lo]["events_per_sec"]) / ratio
+            for tr in trials
+        )
+        eff = per_trial[len(per_trial) // 2]
+        speedup = eff * ratio
+    else:
+        per_trial = None
+        speedup = results[hi]["events_per_sec"] / results[lo]["events_per_sec"]
+        eff = speedup / ratio
     summary = {
         "metric": "replay_scaling_efficiency",
         "levels": {str(c): results[c] for c in levels},
         "speedup": round(speedup, 3),
         "core_ratio": ratio,
         "efficiency": round(eff, 3),
+        "per_trial_efficiency": [round(x, 3) for x in per_trial] if per_trial else None,
         "passes_0.8_bar": eff >= 0.8,
         "events": a.events,
         "docs": a.docs,
@@ -214,6 +268,11 @@ def main() -> None:
         f"**Speedup {lo}→{hi} cores: {speedup:.2f}× over a {ratio:.0f}× core",
         f"ratio → scaling efficiency = {eff:.3f}**"
         + (" (meets the ≥0.8 bar)." if eff >= 0.8 else " (below the 0.8 bar)."),
+        "",
+        ("Per-trial efficiencies (interleaved level pairs; headline = "
+         f"median): {', '.join(f'{x:.3f}' for x in per_trial)}. This VM "
+         "shares a host — single-trial ratios swing ±15%, which the "
+         "interleaving + median damps.") if per_trial else "",
         "",
         "Run on a real cluster with:",
         "```bash",
