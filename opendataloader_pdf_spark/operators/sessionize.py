@@ -58,6 +58,20 @@ def sessionize_by_gap(
     return assign_segments(df, partition, ts, boundary, segment_col)
 
 
+def sessionize_on_change(
+    df: DataFrame,
+    partition: list[str],
+    order: str,
+    value: str,
+    session_col: str = "run_id",
+) -> DataFrame:
+    """Equal-run grouping (A16): a new run starts whenever ``value``
+    differs from the previous row's (null-safe)."""
+    w = Window.partitionBy(*partition).orderBy(order)
+    boundary = ~F.lag(F.col(value)).over(w).eqNullSafe(F.col(value))
+    return assign_segments(df, partition, order, boundary, session_col)
+
+
 def segment_aggregate(
     df: DataFrame,
     partition: list[str],

@@ -673,6 +673,40 @@ def token_pipeline(spark, sf_dir):
 
 
 @register(
+    "a16_distinct_runs",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), seg AS (
+      SELECT user_id, event_type,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id,
+             event_id
+      FROM flagged
+    )
+    SELECT user_id, run_id, event_type AS run_value,
+           count(*) AS run_len, min(event_id) AS first_id
+    FROM seg GROUP BY user_id, run_id, event_type
+    """,
+    doc="A16 distinct-run grouping (HeaderFooterProcessor.java:305-323): "
+        "group consecutive equal-valued rows into intervals — value-change "
+        "boundary flag → running segment id → run aggregate.",
+)
+def a16_distinct_runs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    runs = sess.sessionize_on_change(ev, ["user_id"], "event_id", "event_type",
+                                     session_col="run_id")
+    return runs.groupBy("user_id", "run_id", F.col("event_type").alias("run_value")).agg(
+        F.count(F.lit(1)).alias("run_len"),
+        F.min("event_id").alias("first_id"),
+    )
+
+
+@register(
     "token_splice",
     """
     WITH tok AS (
