@@ -33,6 +33,7 @@ from pyspark.sql import types as T
 
 from opendataloader_pdf_spark.cdc.events import reduce_batch
 from opendataloader_pdf_spark.cdc.patches import (
+    PendingStore,
     has_patch_columns,
     merge_pending,
     reduce_batch_patches,
@@ -86,8 +87,15 @@ class ReplayEngine:
         salted: bool = False,
         observe_stats: bool = False,
         pending_path: str | None = None,
+        disorder_window: int = 64,
     ):
         self.pending_path = pending_path
+        #: bounded out-of-order delivery: |delivery_seq - lsn| < this.
+        #: Drives the patch watermark — after batch b every full write
+        #: with lsn <= (b+1)*batch_size - window has provably arrived, so
+        #: only those patches may apply (fresher ones park in pending
+        #: until the watermark passes; see patches.resolve_patches).
+        self.disorder_window = disorder_window
         self.spark = spark
         self.sink = sink
         self.registry = registry or default_registry()
@@ -109,9 +117,12 @@ class ReplayEngine:
         batch_size: int = 100_000,
         max_batches: int | None = None,
         fail_after: int | None = None,
+        finalize: bool = True,
     ) -> ReplaySummary:
         """Replay the event log in delivery order. Resumes from the sink's
-        committed batch_id; kill/retry-safe."""
+        committed batch_id; kill/retry-safe. ``finalize=False`` skips the
+        terminal pending-patch flush (use when the log will keep growing
+        and be replayed again)."""
         bounds = events.agg(
             F.min("delivery_seq").alias("lo"), F.max("delivery_seq").alias("hi")
         ).collect()[0]
@@ -204,7 +215,10 @@ class ReplayEngine:
                                    F.lit(self.sink.n_buckets)).cast("int").alias("b")
                         ).distinct().collect()}
                         affected = sorted(set(affected) | pb)
-                    red, pending_next = resolve_patches(red, self.sink, affected)
+                    red, pending_next = resolve_patches(
+                        red, self.sink, affected,
+                        floor=hi - self.disorder_window,
+                    )
                     reduced = self.sink._bucketed(red)
                     stats = self.sink.merge(
                         reduced, batch_id=b, affected=affected,
@@ -242,7 +256,41 @@ class ReplayEngine:
                 raise JobKilled(f"injected kill after batch {b}")
             if max_batches is not None and done >= max_batches:
                 break
+        if finalize and has_patch_columns(events) and max_batches is None:
+            self.flush_pending(events, n_batches)
         return summary
+
+    def flush_pending(self, events: DataFrame, flush_batch_id: int) -> None:
+        """Terminal flush of watermark-parked patches: once the bounded
+        log is exhausted no further full writes can arrive, so the
+        watermark is effectively +∞ — apply every pending patch whose
+        predecessor now exists; the rest can never apply and stay parked
+        (a later re-run with a longer log would revisit them via
+        streaming; for bounded replays this IS the end).
+
+        Idempotent: the flush commits under ``flush_batch_id`` and writes
+        a same-id pending HEAD, so a re-run replays it as a no-op."""
+        head, pending_n = self._pending_store().head() if self._pending_store() else (-1, 0)
+        if pending_n == 0 or head >= flush_batch_id:
+            return
+        pending_prev, _ = self._read_pending()
+        empty = events.filter(F.lit(False))
+        red = reduce_batch_patches(empty.drop("schema_version", "ts"))
+        red = merge_pending(red, pending_prev)
+        affected = sorted(
+            r["b"] for r in pending_prev.select(
+                F.pmod(F.xxhash64(self.sink.key),
+                       F.lit(self.sink.n_buckets)).cast("int").alias("b")
+            ).distinct().collect()
+        )
+        red, pending_next = resolve_patches(
+            red, self.sink, affected, floor=None
+        )
+        self.sink.merge(
+            self.sink._bucketed(red), batch_id=flush_batch_id,
+            affected=affected, observe_stats=self.observe_stats,
+        )
+        self._write_pending(flush_batch_id, pending_next)
 
     def _empty_change_schema(self) -> T.StructType:
         fields = list(self.sink.current_schema().fields)
@@ -250,80 +298,32 @@ class ReplayEngine:
         return T.StructType(fields)
 
     # -------------------------------------------------- pending patch state
+    # (thin wrappers over the shared PendingStore — the streaming tail
+    # uses the same store, so batch replay and streaming interoperate)
 
-    def _pending_root(self) -> str | None:
-        if self.pending_path:
-            return self.pending_path
-        root = getattr(self.sink, "root", None)
-        return os.path.join(root, "_pending") if root else None
+    def _pending_store(self) -> PendingStore | None:
+        root = self.pending_path or (
+            os.path.join(self.sink.root, "_pending")
+            if getattr(self.sink, "root", None) else None
+        )
+        if root is None:
+            return None
+        return PendingStore(self.spark, root, key=self.sink.key)
 
     def _pending_head(self) -> int:
-        return self._pending_head_state()[0]
-
-    def _pending_head_state(self) -> tuple[int, int]:
-        """(batch_id, row_count) of the latest committed pending set."""
-        root = self._pending_root()
-        head = root and os.path.join(root, "HEAD")
-        if head and os.path.exists(head):
-            with open(head) as f:
-                parts = f.read().split()
-            return int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
-        return -1, 0
+        ps = self._pending_store()
+        return ps.head()[0] if ps else -1
 
     def _read_pending(self):
-        """Latest committed pending set → (DataFrame|None, row_count).
-        The count is recorded in HEAD at write time (from parquet
-        footers, driver-side), so an empty pending costs NO Spark job —
-        the common case for streams that rarely emit patches."""
-        root = self._pending_root()
-        b, n = self._pending_head_state()
-        if root is None or b < 0 or n == 0:
-            return None, 0
-        path = os.path.join(root, f"batch-{b}")
-        if not os.path.isdir(path):
-            return None, 0
-        return self.spark.read.parquet(path), n
+        ps = self._pending_store()
+        return ps.read() if ps else (None, 0)
 
     def _write_pending(self, batch_id: int, pending) -> None:
-        root = self._pending_root()
-        if root is None:
-            return
-        os.makedirs(root, exist_ok=True)
-        path = os.path.join(root, f"batch-{batch_id}")
-        pending.coalesce(1).write.mode("overwrite").parquet(path)
-        import pyarrow.parquet as pq
-
-        n = sum(
-            pq.read_metadata(os.path.join(path, f)).num_rows
-            for f in os.listdir(path)
-            if f.endswith(".parquet")
-        )
-        self._commit_pending_head(batch_id, n)
+        ps = self._pending_store()
+        if ps:
+            ps.write(batch_id, pending)
 
     def _write_empty_pending(self, batch_id: int) -> None:
-        """Advance HEAD with an empty pending set — pyarrow direct write
-        (a Spark LocalRelation write costs ~5s of fixed latency)."""
-        root = self._pending_root()
-        if root is None:
-            return
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        path = os.path.join(root, f"batch-{batch_id}")
-        os.makedirs(path, exist_ok=True)
-        schema = pa.schema([
-            (self.sink.key, pa.string()),
-            ("_patches", pa.list_(pa.struct([
-                ("lsn", pa.int64()), ("start", pa.int32()),
-                ("dele", pa.int32()), ("ins", pa.list_(pa.int32())),
-            ]))),
-        ])
-        pq.write_table(schema.empty_table(), os.path.join(path, "part-0.parquet"))
-        self._commit_pending_head(batch_id, 0)
-
-    def _commit_pending_head(self, batch_id: int, n_rows: int) -> None:
-        root = self._pending_root()
-        tmp = os.path.join(root, f".HEAD.{batch_id}")
-        with open(tmp, "w") as f:
-            f.write(f"{batch_id} {n_rows}")
-        os.replace(tmp, os.path.join(root, "HEAD"))
+        ps = self._pending_store()
+        if ps:
+            ps.write_empty(batch_id)

@@ -184,7 +184,8 @@ def merge_pending(reduced: DataFrame, pending: DataFrame | None,
 
 
 def resolve_patches(reduced: DataFrame, sink, affected: list[int],
-                    key: str = "doc_id", order: str = "lsn"
+                    key: str = "doc_id", order: str = "lsn",
+                    floor: int | None = None
                     ) -> tuple[DataFrame, DataFrame]:
     """Resolve every patch-bearing key against its authoritative
     predecessor and emit (changes, pending).
@@ -192,16 +193,26 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
     predecessor = the fresher of {in-batch full write W, current table
     row} by lsn. Then:
 
-    * predecessor live, fresh patches  → splice onto its tokens; change
-      lsn = last applied patch lsn.
-    * predecessor live, no fresh patches → W passes through if it is the
+    * predecessor live, applicable patches → splice onto its tokens;
+      change lsn = last applied patch lsn.
+    * predecessor live, none applicable → W passes through if it is the
       predecessor (normal MERGE guard applies); otherwise nothing to do.
     * predecessor is a winning delete W → the delete goes through; its
       fresher patches park in PENDING (a re-insert with an intermediate
       lsn may still arrive).
     * predecessor is a tombstone/absent (and W, if any, is stale) → no
       change; fresh patches park in PENDING.
+
+    ``floor`` is the disorder watermark: the caller guarantees every full
+    write with lsn ≤ floor has been delivered. A patch with lsn > floor
+    must NOT apply yet — an intermediate write (pred.lsn < w.lsn <
+    patch.lsn) could still be in flight, and applying early would raise
+    the row guard past it (the monotone-apply race). Such patches park in
+    PENDING even when a predecessor is live, and apply in a later batch
+    once the watermark passes them. ``floor=None`` means +∞ (apply
+    everything — correct for delivery-ordered logs or a terminal flush).
     """
+    floor_lsn = F.lit(floor if floor is not None else (1 << 62))
     no_patch = reduced.filter(F.size("_patches") == 0).drop("_patches", "_has_w")
     pr = reduced.filter(F.size("_patches") > 0)
 
@@ -226,8 +237,18 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
     use_w = F.col("_has_w") & (F.col(order) > b_lsn)
     pred_lsn = F.when(use_w, F.col(order)).otherwise(b_lsn)
     pred_live = F.when(use_w, F.col("op") != "delete").otherwise(b_live)
-    appl = F.filter(F.col("_patches"), lambda p: p["lsn"] > pred_lsn)
+    appl = F.filter(
+        F.col("_patches"),
+        lambda p: (p["lsn"] > pred_lsn) & (p["lsn"] <= floor_lsn),
+    )
     apply_now = pred_live & (F.size(appl) > 0)
+    # parked: fresher than the predecessor but either above the disorder
+    # watermark, or without a live predecessor to apply onto
+    parked = F.filter(
+        F.col("_patches"),
+        lambda p: (p["lsn"] > pred_lsn)
+        & ((p["lsn"] > floor_lsn) | ~pred_live),
+    )
 
     pred_tokens = F.when(use_w, F.col("tokens")).otherwise(F.col("_b_tokens"))
     tokens_out = F.when(
@@ -235,7 +256,7 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
     ).otherwise(F.col("tokens"))
     emit = use_w | apply_now
 
-    step = oj.withColumn("_appl", appl).select(
+    step = oj.withColumn("_appl", appl).withColumn("_parked", parked).select(
         F.col(key),
         F.when(use_w, F.col("op")).otherwise(F.lit("update")).alias("_op_out"),
         tokens_out.alias("_tokens_out"),
@@ -247,8 +268,8 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
         .otherwise(F.col(order)).alias("_lsn_out"),
         emit.alias("_emit"),
         apply_now.alias("_applied"),
-        (~pred_live & (F.size("_appl") > 0)).alias("_park"),
-        F.col("_appl"),
+        (F.size("_parked") > 0).alias("_park"),
+        F.col("_parked"),
         *(["delivery_seq"] if "delivery_seq" in reduced.columns else []),
     )
 
@@ -264,8 +285,90 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
         *([F.col("delivery_seq")] if "delivery_seq" in reduced.columns else []),
     )
     pending = step.filter(F.col("_park")).select(
-        F.col(key), F.col("_appl").alias("_patches")
+        F.col(key), F.col("_parked").alias("_patches")
     )
 
     cols = no_patch.columns
     return no_patch.unionByName(changes_pr.select(cols)), pending
+
+
+class PendingStore:
+    """Checkpointed cross-batch pending-patch state, shared by the batch
+    replay loop and the streaming tail.
+
+    Layout: ``root/batch-{id}/part-*.parquet`` + ``root/HEAD`` holding
+    "batch_id row_count" (count taken from parquet footers at write time,
+    so an empty pending is knowable without a Spark job). HEAD commits
+    with an atomic rename AFTER the merge commit; if a crash lands
+    between the two, re-running the batch is safe — its merge is an
+    idempotent no-op and re-consumed pending patches die by the LSN
+    guard."""
+
+    def __init__(self, spark, root: str, key: str = "doc_id"):
+        self.spark = spark
+        self.root = root
+        self.key = key
+
+    def head(self) -> tuple[int, int]:
+        import os
+
+        path = os.path.join(self.root, "HEAD")
+        if os.path.exists(path):
+            with open(path) as f:
+                parts = f.read().split()
+            return int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
+        return -1, 0
+
+    def read(self):
+        import os
+
+        b, n = self.head()
+        if b < 0 or n == 0:
+            return None, 0
+        path = os.path.join(self.root, f"batch-{b}")
+        if not os.path.isdir(path):
+            return None, 0
+        return self.spark.read.parquet(path), n
+
+    def write(self, batch_id: int, pending: DataFrame) -> None:
+        import os
+
+        import pyarrow.parquet as pq
+
+        os.makedirs(self.root, exist_ok=True)
+        path = os.path.join(self.root, f"batch-{batch_id}")
+        pending.coalesce(1).write.mode("overwrite").parquet(path)
+        n = sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        self._commit_head(batch_id, n)
+
+    def write_empty(self, batch_id: int) -> None:
+        """Advance HEAD with an empty set — pyarrow direct write (a Spark
+        LocalRelation write costs ~5s of fixed latency)."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(self.root, f"batch-{batch_id}")
+        os.makedirs(path, exist_ok=True)
+        schema = pa.schema([
+            (self.key, pa.string()),
+            ("_patches", pa.list_(pa.struct([
+                ("lsn", pa.int64()), ("start", pa.int32()),
+                ("dele", pa.int32()), ("ins", pa.list_(pa.int32())),
+            ]))),
+        ])
+        pq.write_table(schema.empty_table(), os.path.join(path, "part-0.parquet"))
+        self._commit_head(batch_id, 0)
+
+    def _commit_head(self, batch_id: int, n_rows: int) -> None:
+        import os
+
+        tmp = os.path.join(self.root, f".HEAD.{batch_id}")
+        with open(tmp, "w") as f:
+            f.write(f"{batch_id} {n_rows}")
+        os.replace(tmp, os.path.join(self.root, "HEAD"))

@@ -22,10 +22,12 @@ Watermarks are deliberately unused: ordering authority is the LSN column,
 not event time (north rule; SURVEY.md §2.9 "correctness comes from
 LWW-by-LSN, not event-time watermarks").
 
-Partial-update (op='patch') streams need the cross-batch pending-patch
-state the batch ReplayEngine maintains (cdc/patches.py); tail full-write
-streams here, and replay patch-bearing logs with ReplayEngine (its
-checkpointing covers the unbounded case batch-by-batch).
+Partial-update (op='patch') streams are supported through the same
+PendingStore the batch engine uses (cdc/patches.py): orphan patches park
+across micro-batches and the crash window between the merge commit and
+the pending commit is safe — Structured Streaming re-delivers the
+uncheckpointed batch, whose merge is an idempotent no-op and whose
+re-consumed pending patches die by the LSN guard.
 """
 
 from __future__ import annotations
@@ -49,22 +51,84 @@ def tail_available_now(
     max_files_per_trigger: int = 4,
     event_schema: T.StructType = EVENT_SCHEMA,
     salted: bool = False,
+    disorder_window: int | None = None,
 ) -> list[int]:
     """Consume all currently-available files as micro-batches; returns the
-    list of batch ids applied (empty on a fully caught-up resume)."""
+    list of batch ids applied (empty on a fully caught-up resume).
+
+    ``disorder_window``: set when the log's FILES arrive in delivery
+    order with bounded |delivery_seq − lsn| (true of binlog/WAL segment
+    dirs) — patches then hold back behind the watermark exactly as in the
+    batch engine. Leave None for unordered file drops: patches apply onto
+    the freshest predecessor seen so far (monotone-apply semantics; an
+    intermediate full write arriving AFTER a fresher applied patch is
+    treated as superseded)."""
+    import os
+
+    from opendataloader_pdf_spark.cdc.patches import (
+        PendingStore,
+        has_patch_columns,
+        merge_pending,
+        reduce_batch_patches,
+        resolve_patches,
+    )
+
     reg = registry or default_registry()
     applied: list[int] = []
+    pending_store = (
+        PendingStore(spark, os.path.join(sink.root, "_pending"), key=sink.key)
+        if getattr(sink, "root", None) else None
+    )
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
-        if not batch_df.head(1):
+        patchable = has_patch_columns(batch_df) and pending_store is not None
+        pending_prev, pending_n = (
+            pending_store.read() if patchable else (None, 0)
+        )
+        probe_aggs = [F.count(F.lit(1)).alias("n"),
+                      F.max("schema_version").alias("v")]
+        if patchable:
+            probe_aggs.append(
+                F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p")
+            )
+            if disorder_window is not None:
+                probe_aggs.append(F.max("delivery_seq").alias("d"))
+        row = batch_df.agg(*probe_aggs).collect()[0]
+        if not row["n"] and not pending_n:
             return
-        ver = batch_df.agg(F.max("schema_version").alias("v")).collect()[0]["v"]
-        target = diff_schemas(sink.current_schema(), reg[int(ver)])
+        ver = int(row["v"]) if row["v"] is not None else max(reg)
+        target = diff_schemas(sink.current_schema(), reg[ver])
         sink.evolve_schema(target)
-        reduced = reduce_batch(batch_df.drop("schema_version", "ts"), salted=salted)
-        if sink.merge(reduced, batch_id=batch_id) is not None:
+        if patchable and (row["p"] or pending_n):
+            red = reduce_batch_patches(batch_df.drop("schema_version", "ts"))
+            red = merge_pending(red, pending_prev)
+            affected = sorted(
+                r["bucket"]
+                for r in sink._bucketed(red.select(sink.key))
+                .select("bucket").distinct().collect()
+            )
+            floor = (
+                int(row["d"]) - disorder_window
+                if disorder_window is not None and row["d"] is not None
+                else None
+            )
+            red, pending_next = resolve_patches(red, sink, affected,
+                                                floor=floor)
+            ok = sink.merge(sink._bucketed(red), batch_id=batch_id,
+                            affected=affected)
+            pending_store.write(batch_id, pending_next)
+        else:
+            drop = ["schema_version", "ts"] + (
+                ["patch_start", "patch_del"]
+                if has_patch_columns(batch_df) else []
+            )
+            reduced = reduce_batch(batch_df.drop(*drop), salted=salted)
+            ok = sink.merge(reduced, batch_id=batch_id)
+            if patchable:
+                pending_store.write_empty(batch_id)
+        if ok is not None:
             applied.append(batch_id)
 
     stream = (

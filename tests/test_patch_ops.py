@@ -80,7 +80,27 @@ def test_patch_cross_batch_variants(spark, tmp_path):
     assert_states_equal(actual, exp)
 
 
-@pytest.mark.parametrize("batch_size", [512, 4096])
+def test_patch_waits_for_intermediate_write(spark, tmp_path):
+    """The monotone-apply race: a patch delivered before an INTERMEDIATE
+    full write crosses a batch cut. Without the disorder watermark the
+    patch would apply onto the older write and the intermediate one would
+    then be rejected as stale; with it, the patch parks until every write
+    below its lsn has provably arrived."""
+    rows = [
+        (1, "a", "insert", [1, 1], 2, "s", None, 1, 0, None, None),
+        (13, "a", "patch", [9], 1, "s", None, 1, 1, 0, 0),   # delivered early
+        (12, "a", "update", [5, 5], 2, "s", None, 1, 9, None, None),
+    ]
+    # batch_size=5 splits the patch (delivery 1) from the update (delivery 9)
+    sink = _replay(spark, _ev(spark, rows), tmp_path, batch_size=5)
+    got = sink.read().collect()
+    assert len(got) == 1
+    # pure fold: insert → update [5,5] → patch prepends 9 → [9,5,5]
+    assert list(got[0]["tokens"]) == [9, 5, 5]
+    assert got[0]["lsn"] == 13
+
+
+@pytest.mark.parametrize("batch_size", [512, 700, 4096])
 def test_patch_stream_matches_fold_oracle(spark, tmp_path, batch_size):
     ev = gen_change_events(spark, 4000, 400, seed=13, patch_frac=0.3)
     ev.cache()

@@ -76,3 +76,38 @@ def test_tail_picks_up_appended_files(spark, event_dir, tmp_path):
     assert applied  # incremental batches
 
     assert_states_equal(_final(sink), expected_final_state(ev.toPandas()))
+
+
+def test_tail_patch_stream_matches_fold_oracle(spark, tmp_path):
+    """Patch events through the streaming tail: pending state carries
+    orphan patches across micro-batches; final table equals the pure
+    LSN-fold oracle. Files are written in delivery order so the
+    disorder watermark applies (binlog-segment analog)."""
+    from pyspark.sql import functions as F
+
+    ev = gen_change_events(spark, 4000, 400, seed=29, patch_frac=0.3)
+    ev.cache()
+    src = str(tmp_path / "patch_events")
+    # delivery-ordered segment files: 8 contiguous delivery ranges
+    n_files = 8
+    hi = ev.agg(F.max("delivery_seq")).collect()[0][0] + 1
+    step = (hi + n_files - 1) // n_files
+    for i in range(n_files):
+        (ev.filter((F.col("delivery_seq") >= i * step)
+                   & (F.col("delivery_seq") < (i + 1) * step))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "ptbl"), n_buckets=8)
+    from opendataloader_pdf_spark.cdc import ReplayEngine
+
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    applied = tail_available_now(
+        spark, src, sink, str(tmp_path / "pckpt"),
+        max_files_per_trigger=2, disorder_window=64,
+    )
+    assert applied
+    # terminal flush of watermark-parked patches (bounded log is done)
+    eng.flush_pending(ev, max(applied) + 1)
+    assert_states_equal(_final(sink), expected_final_state(ev.toPandas()))
+    ev.unpersist()
