@@ -32,6 +32,10 @@ AUDITED = [
     "cosine_topk",
     "token_pipeline",
     "a13_overlap_reject",
+    "token_splice",
+    "a16_distinct_runs",
+    "a8_label_intervals",
+    "f_filter_stack",
 ]
 
 
