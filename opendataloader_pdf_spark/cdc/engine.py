@@ -144,6 +144,23 @@ class ReplayEngine:
         # patches die by the LSN guard. (Every batch of a patch-capable
         # stream advances HEAD, so the lag is bounded at one.)
         if has_patch_columns(events):
+            if self._pending_store() is None:
+                raise ValueError(
+                    "event stream carries patch ops but no pending store is "
+                    "available (sink has no .root and pending_path was not "
+                    "given) — parked patches would be silently dropped; "
+                    "pass pending_path= to ReplayEngine"
+                )
+            ps = self._pending_store()
+            fin = ps.finalized_at()
+            if fin is not None and n_batches > fin:
+                raise ValueError(
+                    f"sink was finalized (terminal pending flush committed "
+                    f"under batch_id={fin}) but the event log now extends "
+                    f"to {n_batches} batches — events in slot {fin} would "
+                    f"be silently skipped. Replay growing logs with "
+                    f"finalize=False, or replay into a fresh sink."
+                )
             head = self._pending_head()
             if head >= 0:
                 start = min(start, head + 1)
@@ -190,15 +207,18 @@ class ReplayEngine:
                 pending_prev, pending_n = self._read_pending()
             _t = _mark("pending-read", _t)
             if n_events or pending_n:
-                ver = (max(int(r["v"]) for r in probe) if probe
-                       else max(self.registry))
+                if probe:
+                    target_schema = self.registry[max(int(r["v"]) for r in probe)]
+                else:
+                    # zero events, pending only: stay on the sink's current
+                    # schema — evolving to max(registry) would add columns
+                    # no arrived event carries yet
+                    target_schema = self.sink.current_schema()
                 affected = sorted(r["bucket"] for r in probe)
                 batch_has_patches = patchable and any(
                     r["p"] for r in probe if "p" in r.asDict()
                 )
-                target = diff_schemas(
-                    self.sink.current_schema(), self.registry[ver]
-                )
+                target = diff_schemas(self.sink.current_schema(), target_schema)
                 self.sink.evolve_schema(target)
                 # WIDE pass — exactly one per batch: reduce + MERGE join +
                 # snapshot write, with per-bucket lineage stats observed on
@@ -291,6 +311,12 @@ class ReplayEngine:
             affected=affected, observe_stats=self.observe_stats,
         )
         self._write_pending(flush_batch_id, pending_next)
+        # the flush consumed batch slot `flush_batch_id`; a later replay
+        # against a LONGER log must not silently skip events landing in
+        # that slot — mark the sink finalized so replay() raises instead
+        ps = self._pending_store()
+        if ps:
+            ps.mark_finalized(flush_batch_id)
 
     def _empty_change_schema(self) -> T.StructType:
         fields = list(self.sink.current_schema().fields)

@@ -50,6 +50,17 @@ class IcebergSink:
 
     # ---------------------------------------------------------------- state
 
+    def _bucketed(self, df: DataFrame) -> DataFrame:
+        """Same bucket expression as ParquetMergeSink._bucketed — the
+        engine calls this on every reduced batch; Iceberg's own
+        ``bucket(N, key)`` partition transform uses a different hash, but
+        the engine-side bucket column is only for probe/audit bookkeeping
+        (merge drops it), so the xxhash64 form is kept for parity."""
+        return df.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int"),
+        )
+
     def exists(self) -> bool:
         return self.spark.catalog.tableExists(self.table)
 

@@ -319,6 +319,25 @@ class PendingStore:
             return int(parts[0]), int(parts[1]) if len(parts) > 1 else 0
         return -1, 0
 
+    def finalized_at(self) -> int | None:
+        """Batch id of a terminal pending flush, or None. A finalized sink
+        must not be re-replayed against a LONGER log — events landing in
+        the flush's batch slot would be skipped (the flush consumed that
+        id); ReplayEngine.replay raises on this."""
+        import os
+
+        path = os.path.join(self.root, "HEAD")
+        if os.path.exists(path):
+            with open(path) as f:
+                parts = f.read().split()
+            if len(parts) > 2 and parts[2] == "F":
+                return int(parts[0])
+        return None
+
+    def mark_finalized(self, batch_id: int) -> None:
+        _, n = self.head()
+        self._commit_head(batch_id, n, finalized=True)
+
     def read(self):
         import os
 
@@ -365,10 +384,11 @@ class PendingStore:
         pq.write_table(schema.empty_table(), os.path.join(path, "part-0.parquet"))
         self._commit_head(batch_id, 0)
 
-    def _commit_head(self, batch_id: int, n_rows: int) -> None:
+    def _commit_head(self, batch_id: int, n_rows: int,
+                     finalized: bool = False) -> None:
         import os
 
         tmp = os.path.join(self.root, f".HEAD.{batch_id}")
         with open(tmp, "w") as f:
-            f.write(f"{batch_id} {n_rows}")
+            f.write(f"{batch_id} {n_rows}" + (" F" if finalized else ""))
         os.replace(tmp, os.path.join(self.root, "HEAD"))

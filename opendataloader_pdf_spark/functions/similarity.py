@@ -68,17 +68,40 @@ def text_shingles(col: Column, n: int = 3) -> Column:
 # ------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3,
+    threshold: float = 0.8, max_df: int | None = None,
 ) -> DataFrame:
     """Exact pairwise Jaccard over word n-gram shingle sets, pairs with
     similarity ≥ threshold. Shuffle key = shingle (co-groups only docs
-    sharing a shingle — no cartesian)."""
-    # cache the narrow (id, shingle) frame: it feeds both self-join sides
-    # AND the per-doc size agg — without it the regex/split/shingle lineage
-    # recomputes once per consumer (~4× the scan cost, measured)
+    sharing a shingle — no cartesian).
+
+    ``max_df`` (document-frequency cap) is the 100 TB guard: a shingle
+    present in D documents contributes D·(D−1)/2 pairs to ONE reducer — a
+    stopword-like shingle shared by 10⁵ docs means 10¹⁰ pairs in a single
+    task. With max_df set, shingles with df > max_df are dropped from the
+    ENTIRE computation (both the pair join and the per-doc set sizes), so
+    the result is the exact Jaccard over the capped shingle sets — a
+    well-defined, oracle-checkable semantics (high-df shingles carry no
+    near-dup signal anyway; this is the standard stopword-df trick).
+
+    Caching contract: the narrow (id, shingle) frame is cached because it
+    feeds both self-join sides AND the size agg (without it the
+    regex/split/shingle lineage recomputes per consumer, ~4× scan cost);
+    the cache lives until the session drops it — long-lived sessions
+    issuing many calls should spark.catalog.clearCache() between them."""
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
-    ).distinct().cache()
+    ).distinct()
+    if max_df is not None:
+        # df per shingle is a map-side-combinable agg; the broadcast of
+        # surviving-or-not routes through a join on the (small) hot set:
+        # anti-join against shingles whose df exceeds the cap.
+        hot = (
+            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df).select("sh")
+        )
+        sh = sh.join(F.broadcast(hot), "sh", "left_anti")
+    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
@@ -146,6 +169,7 @@ def minhash_lsh_candidates(
     k: int = 32,
     bands: int = 8,
     seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` rows-per-band
     groups, hash each band, explode to (band_idx, band_hash) buckets,
@@ -153,9 +177,20 @@ def minhash_lsh_candidates(
 
     The candidate join is an equi-join on (band_idx, band_hash): docs
     land in the same reducer only if a band collides — the LSH scale
-    property that avoids all-pairs."""
+    property that avoids all-pairs.
+
+    ``max_bucket`` caps band-bucket size (the minhash analog of the
+    shingle df-cap): a degenerate bucket of D docs — e.g. many identical
+    boilerplate documents — squares to D·(D−1)/2 candidate pairs in one
+    reducer. Buckets above the cap are dropped; pairs inside them almost
+    always collide in another, smaller band too (that's why banding uses
+    several bands), so recall loss is marginal while the worst reducer is
+    bounded at max_bucket². Set it at 100 TB; leave None for exact parity.
+
+    Caching contract: signatures are cached (both self-join sides read
+    them); long-lived sessions should spark.catalog.clearCache() between
+    unrelated calls."""
     rows_per_band = k // bands
-    # cached: both sides of the candidate self-join read the signatures
     sig = minhash_signatures(docs, id_col, text_col, n, k, seed).cache()
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -170,6 +205,13 @@ def minhash_lsh_candidates(
             )
         ).alias("b"),
     ).select("id", "b.band", "b.bh")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -216,11 +258,13 @@ def verify_jaccard_pairs(
 def minhash_dedup(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
     bands: int = 8, jaccard_threshold: float = 0.8, seed: int = 42,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify (per
     candidate pair, linear) → keep the min-id representative of each
     duplicate pair's loser set."""
-    cands = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands, seed)
+    cands = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands, seed,
+                                   max_bucket=max_bucket)
     verified = verify_jaccard_pairs(
         docs, cands, id_col, text_col, n, jaccard_threshold
     )
@@ -297,22 +341,80 @@ def brute_force_topk(
 
 
 def cosine_pairs_above(
-    vecs: DataFrame, id_col: str, vec_col: str, threshold: float
+    vecs: DataFrame, id_col: str, vec_col: str, threshold: float,
+    exact_limit: int | None = 100_000, planes_per_band: int = 3,
+    bands: int = 6, seed: int = 42,
 ) -> DataFrame:
-    """All pairs (id_a < id_b) with cosine >= threshold — exact baseline.
+    """All pairs (id_a < id_b) with cosine >= threshold.
 
-    Broadcast self-join with the id inequality as the join condition, so
-    each pair is scored once; the dot product runs JVM-side (zip_with +
-    aggregate, whole-stage codegen). For corpora too large to broadcast,
-    the LSH-bucketed path (lsh_topk / minhash_lsh_candidates) replaces the
-    quadratic scorer.
-    """
+    Exact baseline: broadcast self-join with the id inequality as the
+    join condition, so each pair is scored once; the dot product runs
+    JVM-side (zip_with + aggregate, whole-stage codegen). The exact form
+    is O(n²) comparisons — a scale-killer on a big corpus — so it is
+    SIZE-GATED: above ``exact_limit`` rows the call auto-routes to
+    ``cosine_pairs_lsh`` (hyperplane-bucketed candidates, exact cosine
+    verify — every emitted pair truly passes the threshold; recall < 1
+    for pairs whose signatures differ by >1 bit). ``exact_limit=None``
+    disables the gate (tests / oracle parity)."""
+    if exact_limit is not None:
+        n = vecs.count()
+        if n > exact_limit:
+            dim_row = vecs.select(F.size(vec_col).alias("d")).first()
+            return cosine_pairs_lsh(
+                vecs, id_col, vec_col, threshold, dim=int(dim_row["d"]),
+                planes_per_band=planes_per_band, bands=bands, seed=seed,
+            )
     a = vecs.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = vecs.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
         .withColumn("_cos", cosine_sim(F.col("_va"), F.col("_vb")))
         .filter(F.col("_cos") >= threshold)  # filter raw, round for output (oracle parity)
+        .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
+    )
+
+
+def cosine_pairs_lsh(
+    vecs: DataFrame, id_col: str, vec_col: str, threshold: float,
+    dim: int, planes_per_band: int = 3, bands: int = 6, seed: int = 42,
+) -> DataFrame:
+    """Pairs with cosine >= threshold via banded hyperplane LSH — the
+    100 TB path cosine_pairs_above gates into.
+
+    OR-construction: ``bands`` independent short sign signatures of
+    ``planes_per_band`` hyperplanes each; a pair becomes a candidate if
+    ANY band's signature matches exactly (equi-join on (band, sig) — no
+    cartesian; a band bucket co-groups only same-signature vectors).
+    Candidates dedup on the pair key (they may collide in several bands),
+    then exact-verify with the JVM-side cosine — emitted pairs ⊆ the
+    exact result. Recall for a pair at angle θ: 1 − (1 − p^r)^b with
+    p = 1 − θ/π, r = planes_per_band, b = bands (defaults: ~0.76 at
+    cosine 0.4, →1 as cosine →1). Tune r up / b down for fewer, cleaner
+    candidates at scale."""
+    sigs = [
+        lsh_signature(F.col(vec_col), dim, planes_per_band, seed + 1000 * bi)
+        for bi in range(bands)
+    ]
+    banded = vecs.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"), s.alias("sig"))
+            for bi, s in enumerate(sigs)
+        ])).alias("_b"),
+    ).select("_id", "_v", "_b.band", "_b.sig")
+    a = banded.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                      "band", "sig")
+    b = banded.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                      "band", "sig")
+    cands = (
+        a.join(b, on=["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "_va", "id_b", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("_cos", cosine_sim(F.col("_va"), F.col("_vb")))
+        .filter(F.col("_cos") >= threshold)
         .select("id_a", "id_b", F.round("_cos", 6).alias("cosine"))
     )
 

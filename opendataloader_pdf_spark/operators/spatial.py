@@ -68,10 +68,13 @@ def interval_overlap_join(
     them (optionally by more than ``min_fraction`` of a's length).
 
     Both sides explode to their grid buckets; the equi-join on the bucket
-    prunes pairs; the exact overlap predicate refines; ``dropDuplicates``
-    removes multi-bucket double-matches. This is the scale form of the
-    reference's table-overlap rejection scan (A13,
-    AbstractTableProcessor.java:63-82)."""
+    prunes pairs; the exact overlap predicate refines. Each pair is
+    emitted EXACTLY ONCE even when the intervals share several buckets:
+    the match counts only in the canonical bucket — the one containing
+    ``max(a_lo, b_lo)``, which every overlapping pair shares (the overlap
+    region starts there, inside both intervals). No dedup shuffle needed.
+    This is the scale form of the reference's table-overlap rejection
+    scan (A13, AbstractTableProcessor.java:63-82)."""
     def bucketed(df, lo, hi):
         return df.withColumn(
             "_b",
@@ -86,8 +89,13 @@ def interval_overlap_join(
     jb = bucketed(b, b_lo, b_hi)
     j = ja.join(jb, on="_b", how=how)
     frac = overlap_fraction(F.col(a_lo), F.col(a_hi), F.col(b_lo), F.col(b_hi))
+    canonical = F.col("_b") == F.greatest(
+        F.floor(F.col(a_lo) / F.lit(bucket_width)).cast("long"),
+        F.floor(F.col(b_lo) / F.lit(bucket_width)).cast("long"),
+    )
     j = j.filter(
-        (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi)) & (frac > min_fraction)
+        (F.col(a_lo) < F.col(b_hi)) & (F.col(b_lo) < F.col(a_hi))
+        & canonical & (frac > min_fraction)
     )
     return j.drop("_b")
 

@@ -585,11 +585,17 @@ def dedup_exact(spark, sf_dir):
              unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
                                    for i in range(1, greatest(len(arr)-2, 1)+1)])) AS sh
       FROM w
+    ), capped AS (
+      -- df-cap: shingles in > 100 docs are dropped from the whole
+      -- computation (the hot-shingle reducer guard, mirrored in Spark)
+      SELECT s.doc_id, s.sh FROM sh s
+      JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) ok
+        ON ok.sh = s.sh
     ), sizes AS (
-      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+      SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id
     ), common AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
@@ -600,11 +606,14 @@ def dedup_exact(spark, sf_dir):
     WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.12
     """,
     doc="Exact n-gram Jaccard near-dup pairs; shuffle key = shingle, "
-        "never a cartesian (training-pipeline dedup family).",
+        "never a cartesian (training-pipeline dedup family). max_df=100 "
+        "caps shingle document frequency (hot-shingle reducer guard; "
+        "capped-set Jaccard semantics, mirrored in the oracle).",
 )
 def ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return S.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12)
+    return S.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12,
+                                 max_df=100)
 
 
 @register(
@@ -718,14 +727,19 @@ def a16_distinct_runs(spark, sf_dir):
       FROM documents
     )
     SELECT doc_id,
-           (tokens[1:s] || [1,2,3] || tokens[s+d+1:]) AS spliced,
-           len(tokens[1:s] || [1,2,3] || tokens[s+d+1:])::INT AS n_out
+           len(tokens[1:s] || [1,2,3] || tokens[s+d+1:])::INT AS n_out,
+           (list_reduce(tokens[1:s] || [1,2,3] || tokens[s+d+1:],
+                        (a,v) -> (a*1000003 + v) % 2147483647) * 2147483648
+            + list_reduce(tokens[1:s] || [1,2,3] || tokens[s+d+1:],
+                          (a,v) -> (a*999983 + v) % 536870909))::BIGINT AS fp
     FROM tok
     """,
     doc="Token-array splice (delete d at 0-based s, insert [1,2,3]) — the "
         "CDC patch-op primitive (cdc/patches.py), pure JVM slice+concat "
         "(functions/tokens.splice_tokens); reference analog: coordinate-"
-        "indexed chunk split (TableBorderProcessor.java:159-170).",
+        "indexed chunk split (TableBorderProcessor.java:159-170). Output is "
+        "the spliced array's polynomial fingerprint + length (scalar "
+        "columns — the driver canonicalizer can't sort raw array cells).",
 )
 def token_splice(spark, sf_dir):
     from opendataloader_pdf_spark.functions import tokens as TK
@@ -740,8 +754,11 @@ def token_splice(spark, sf_dir):
     )
     ins = F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<int>")
     spliced = TK.splice_tokens(F.col("tokens"), F.col("s"), F.col("d"), ins)
+    t = t.select("doc_id", spliced.alias("spliced"))
     return t.select(
-        "doc_id", spliced.alias("spliced"), F.size(spliced).alias("n_out")
+        "doc_id",
+        F.size("spliced").alias("n_out"),
+        TK.token_fingerprint(F.col("spliced")).alias("fp"),
     )
 
 
@@ -1165,14 +1182,33 @@ def asof_join_last_order(spark, sf_dir):
      AND list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
     """,
     doc="Embedding-cosine near-dup pairs, exact baseline: broadcast "
-        "self-join + JVM zip_with/aggregate dot product (no UDF); the LSH "
-        "bucketed variant (lsh_topk/minhash) is the 100TB scale path.",
+        "self-join + JVM zip_with/aggregate dot product (no UDF). The op "
+        "is size-gated: above exact_limit rows it auto-routes to the "
+        "LSH-bucketed path (embedding_near_dup_lsh); exact_limit=None "
+        "here pins the exact form for oracle parity.",
 )
 def embedding_near_dup(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
-    return S.cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.4)
+    return S.cosine_pairs_above(emb, "vec_id", "embedding", threshold=0.4,
+                                exact_limit=None)
+
+
+@register(
+    "embedding_near_dup_lsh", None,
+    doc="Embedding near-dup pairs via banded hyperplane LSH + exact "
+        "cosine verify — the path cosine_pairs_above size-gates into at "
+        "100 TB. Candidates = equi-join on (band, sign-signature); "
+        "emitted pairs ⊆ the exact result (pytest asserts subset + "
+        "recall on testdata).",
+)
+def embedding_near_dup_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    return S.cosine_pairs_lsh(emb, "vec_id", "embedding", threshold=0.4,
+                              dim=64, planes_per_band=3, bands=6)
 
 
 # =====================================================================
@@ -1423,7 +1459,9 @@ def k1_json_lines(spark, sf_dir):
 @register(
     "multimodal_decode", None,
     doc="Multimodal decode/feature plumbing via mapInPandas over binary "
-        "payloads (stubbed deterministic decode; K6 ImagesUtils analog).",
+        "payloads (stubbed deterministic decode; K6 ImagesUtils analog). "
+        "The feature vector is projected to scalar digests (dim + rounded "
+        "L1 mass) — the driver canonicalizer can't sort raw array cells.",
 )
 def multimodal_decode(spark, sf_dir):
     from opendataloader_pdf_spark.functions.multimodal import (
@@ -1432,7 +1470,15 @@ def multimodal_decode(spark, sf_dir):
     )
 
     media = documents_as_media(_t(spark, sf_dir, "documents"))
-    return decode_images(media)
+    dec = decode_images(media)
+    feat_mass = F.aggregate(
+        "feature", F.lit(0.0), lambda a, v: a + F.abs(v.cast("double"))
+    )
+    return dec.select(
+        "media_id", "width", "height", "channels",
+        F.size("feature").alias("feat_dim"),
+        F.round(feat_mass, 3).alias("feat_l1"),
+    )
 
 
 @register(

@@ -98,8 +98,12 @@ def tail_available_now(
         row = batch_df.agg(*probe_aggs).collect()[0]
         if not row["n"] and not pending_n:
             return
-        ver = int(row["v"]) if row["v"] is not None else max(reg)
-        target = diff_schemas(sink.current_schema(), reg[ver])
+        # empty batch with pending only: stay on the sink's current schema
+        # (don't evolve to max(reg) before any event at that version lands)
+        target_schema = (
+            reg[int(row["v"])] if row["v"] is not None else sink.current_schema()
+        )
+        target = diff_schemas(sink.current_schema(), target_schema)
         sink.evolve_schema(target)
         if patchable and (row["p"] or pending_n):
             red = reduce_batch_patches(batch_df.drop("schema_version", "ts"))

@@ -1,0 +1,168 @@
+"""Round-2 additions: LSH pair recall, similarity scale guards, the
+exactly-once emission of the overlap join, and the finalized-flush
+replay guard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+
+
+# ------------------------------------------------------- similarity guards
+
+def test_cosine_pairs_lsh_subset_and_recall(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.similarity import (
+        cosine_pairs_above,
+        cosine_pairs_lsh,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_above(
+            emb, "vec_id", "embedding", 0.4, exact_limit=None
+        ).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_lsh(
+            emb, "vec_id", "embedding", 0.4, dim=64,
+            planes_per_band=3, bands=6,
+        ).collect()
+    }
+    assert approx <= exact              # every emitted pair is exact-verified
+    if exact:
+        assert len(approx) / len(exact) >= 0.6   # banded OR-construction recall
+
+
+def test_cosine_pairs_above_size_gate_routes_to_lsh(spark):
+    from opendataloader_pdf_spark.functions.similarity import cosine_pairs_above
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0 + 0.001 * i, 0.5]) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    # exact_limit below the corpus size → LSH path; near-identical vectors
+    # share every sign signature, so recall here is 1.0 and the gated
+    # result equals the exact one
+    gated = cosine_pairs_above(vecs, "vec_id", "embedding", 0.99, exact_limit=5)
+    exact = cosine_pairs_above(vecs, "vec_id", "embedding", 0.99, exact_limit=None)
+    assert {tuple(r) for r in gated.collect()} == {tuple(r) for r in exact.collect()}
+
+
+def test_ngram_df_cap_drops_hot_shingle(spark):
+    from opendataloader_pdf_spark.functions.similarity import ngram_jaccard_pairs
+
+    # every doc shares the boilerplate header; docs 1/2 share real content
+    docs = spark.createDataFrame(
+        [
+            (1, "common header line alpha beta gamma"),
+            (2, "common header line alpha beta gamma"),
+            (3, "common header line totally different text here"),
+            (4, "common header line nothing shared with others"),
+        ],
+        "doc_id long, text string",
+    )
+    uncapped = ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
+    capped = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5, max_df=3
+    )
+    # 'common header line' (df=4) is dropped by the cap; docs 1/2 remain
+    # perfect duplicates on their surviving shingles
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert got == {(1, 2): 1.0}
+    # the uncapped form also pairs (1,2) but through the hot shingle it
+    # additionally co-groups all 6 pairs in one reducer — the cap's point
+    assert (1, 2) in {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+
+
+def test_minhash_bucket_cap_bounds_candidates(spark):
+    from opendataloader_pdf_spark.functions.similarity import (
+        minhash_lsh_candidates,
+    )
+
+    # 12 identical docs → every band bucket has 12 members → 66 pairs;
+    # with max_bucket=4 those degenerate buckets are dropped entirely
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated in every document") for i in range(12)]
+        + [(100, "a unique document with its own words entirely")],
+        "doc_id long, text string",
+    )
+    uncapped = minhash_lsh_candidates(docs, "doc_id", "text", n=3, k=8, bands=4)
+    capped = minhash_lsh_candidates(
+        docs, "doc_id", "text", n=3, k=8, bands=4, max_bucket=4
+    )
+    assert uncapped.count() == 66
+    assert capped.count() == 0
+    cset = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    uset = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert cset <= uset
+
+
+# ------------------------------------------------ overlap join exact-once
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    from opendataloader_pdf_spark.operators.spatial import interval_overlap_join
+
+    a = spark.createDataFrame([(1, 0.0, 10.0)], "a_id long, lo double, hi double")
+    b = spark.createDataFrame(
+        [(10, 5.0, 25.0), (11, 9.5, 10.5), (12, 11.0, 12.0)],
+        "b_id long, b_lo double, b_hi double",
+    )
+    # bucket_width=1 → interval a spans 10 buckets, b_10 spans 20: they
+    # share 5 buckets but the pair must emit exactly once
+    out = interval_overlap_join(a, b, "lo", "hi", "b_lo", "b_hi", bucket_width=1.0)
+    rows = [(r["a_id"], r["b_id"]) for r in out.collect()]
+    assert sorted(rows) == [(1, 10), (1, 11)]   # b_12 doesn't overlap
+
+
+# ------------------------------------------------- finalized-flush guard
+
+EV_SCHEMA = (
+    "lsn long, doc_id string, op string, tokens array<int>, n_tok int, "
+    "source string, lang string, schema_version int, delivery_seq long, "
+    "patch_start int, patch_del int"
+)
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(rows, EV_SCHEMA).withColumn(
+        "ts", F.current_timestamp()
+    )
+
+
+def test_finalized_sink_rejects_grown_log(spark, tmp_path):
+    rows = [
+        (1, "a", "insert", [1, 2], 2, "s", None, 1, 0, None, None),
+        # orphan patch → parks in pending → terminal flush runs & finalizes
+        (5, "b", "patch", [9], 1, "s", None, 1, 1, 0, 0),
+    ]
+    sink = ParquetMergeSink(spark, str(tmp_path / "fin"), n_buckets=4)
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(_ev(spark, rows), batch_size=10)           # finalize=True
+
+    # same log again: idempotent no-op, no error
+    eng.replay(_ev(spark, rows), batch_size=10)
+
+    # grown log (events land in the flushed slot) → must raise, not skip
+    grown = rows + [(7, "c", "insert", [3], 1, "s", None, 1, 11, None, None)]
+    with pytest.raises(ValueError, match="finalized"):
+        eng.replay(_ev(spark, grown), batch_size=10)
+
+
+def test_patch_stream_requires_pending_store(spark, tmp_path):
+    class RootlessSink(ParquetMergeSink):
+        pass
+
+    sink = RootlessSink(spark, str(tmp_path / "nr"), n_buckets=4)
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    sink.root = None  # simulate a sink without a filesystem root
+    rows = [(1, "a", "patch", [1], 1, "s", None, 1, 0, 0, 0)]
+    with pytest.raises(ValueError, match="pending store"):
+        eng.replay(_ev(spark, rows), batch_size=10)
