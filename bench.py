@@ -40,9 +40,17 @@ BENCH_QUERIES = [
 
 # replay sizing per sf of the driver testdata we're pointed at; sized so
 # per-batch parallel work dominates fixed micro-batch costs (steady-state
-# throughput, not batch-overhead) while keeping the run under ~2 min
-REPLAY_SIZE = {"0.001": (20_000, 2_000), "0.01": (200_000, 20_000),
-               "0.1": (4_000_000, 200_000)}
+# throughput, not batch-overhead) while keeping the run under ~2 min.
+# (n_events, n_docs, batch_size): batch_size is the throughput/latency
+# knob — every micro-batch pays one table copy-on-write plus ~2s of fixed
+# job cost on this box, so the batch-size FLOOR for throughput benching is
+# where per-batch parallel work dominates that; 2M events/batch ≈ the
+# steady-state ingest shape (a 1000-executor cluster tailing a busy binlog
+# accumulates millions of events per trigger). Correctness at small batch
+# sizes is pytest's job (tests run batch sizes down to 512).
+REPLAY_SIZE = {"0.001": (20_000, 2_000, 5_000),
+               "0.01": (200_000, 20_000, 50_000),
+               "0.1": (4_000_000, 200_000, 2_000_000)}
 
 
 def run_replay(spark, n_events: int, n_docs: int, workdir: str,
@@ -112,10 +120,14 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
         _ = n
 
-    n_events, n_docs = REPLAY_SIZE.get(sf, (200_000, 20_000))
+    n_events, n_docs, batch_size = REPLAY_SIZE.get(sf, (200_000, 20_000, 50_000))
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/dev/shm/bench_cdc_sf{sf}")
     os.makedirs(workdir, exist_ok=True)
-    replay = run_replay(spark, n_events, n_docs, workdir)
+    # untimed warm-up replay: compiles the engine's codegen shapes
+    # (upfront probe window, reduce, MERGE join, snapshot write) so the
+    # measured run reports steady-state throughput, not JVM JIT latency
+    run_replay(spark, 20_000, 2_000, workdir, batch_size=5_000)
+    replay = run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
 
     total = round(time.time() - total0, 3)
     print(json.dumps({

@@ -88,8 +88,13 @@ class ReplayEngine:
         observe_stats: bool = False,
         pending_path: str | None = None,
         disorder_window: int = 64,
+        delta_max_events: int = 8_000_000,
     ):
         self.pending_path = pending_path
+        #: batch-size gate for the delta-merge fast path: its survivors
+        #: anti-join broadcasts the batch's winner KEYS (≤ distinct keys ≤
+        #: events); above this, fall back to the shuffle full-outer MERGE.
+        self.delta_max_events = delta_max_events
         #: bounded out-of-order delivery: |delivery_seq - lsn| < this.
         #: Drives the patch watermark — after batch b every full write
         #: with lsn <= (b+1)*batch_size - window has provably arrived, so
@@ -166,6 +171,31 @@ class ReplayEngine:
                 start = min(start, head + 1)
         summary = ReplaySummary()
         done = 0
+        # NARROW upfront probe — ONE column-pruned scan over the remaining
+        # log (key, op, schema_version; token arrays are never read)
+        # learns, for EVERY batch slot at once: batch size, target schema
+        # version, the affected-bucket list, and whether partial-update
+        # patches are present. Probe facts depend only on the immutable
+        # log, never on sink state — so hoisting them out of the loop is
+        # exact and replaces n_batches probe jobs with one.
+        patchable = has_patch_columns(events)
+        _t = time.time()
+        probe_rows = self._upfront_probe_and_stats(events, start, batch_size)
+        probe_by_batch: dict[int, list] = {}
+        any_patches = False
+        for r in probe_rows:
+            probe_by_batch.setdefault(int(r["_bid"]), []).append(r)
+            any_patches = any_patches or bool(r["p"])
+        # the analytically-precomputed audit stats assume every winner
+        # applies with its own lsn — true iff NO patch op exists anywhere
+        # in the remaining log (patch application rewrites row lsns and
+        # parks/revives rows across batches)
+        precompute_stats = (
+            not any_patches
+            and self._pending_head() < 0
+            and hasattr(self.sink, "_merge_delta")
+        )
+        _mark("probe-upfront", _t)
         for b in range(start, n_batches):
             t0 = time.time()
             lo, hi = b * batch_size, (b + 1) * batch_size
@@ -173,34 +203,8 @@ class ReplayEngine:
             batch = events.filter(
                 (F.col("delivery_seq") >= lo) & (F.col("delivery_seq") < hi)
             )
-            # NARROW probe — one column-pruned scan (key, op,
-            # schema_version; token arrays are never read here) learns
-            # batch size, target schema version, the affected-bucket list,
-            # and whether any partial-update patches are present. The
-            # reduced frame is deliberately NOT cached: the columnar
-            # cache-store of token-array rows costs more than the single
-            # recompute the MERGE triggers.
-            patchable = has_patch_columns(events)
-            probe_aggs = [
-                F.count(F.lit(1)).alias("n"),
-                F.max("schema_version").alias("v"),
-            ]
-            if patchable:
-                probe_aggs.append(
-                    F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p")
-                )
             _t = time.time()
-            probe = (
-                batch.groupBy(
-                    F.pmod(
-                        F.xxhash64(F.col(self.sink.key)),
-                        F.lit(self.sink.n_buckets),
-                    ).cast("int").alias("bucket")
-                )
-                .agg(*probe_aggs)
-                .collect()
-            )
-            _t = _mark("probe", _t)
+            probe = probe_by_batch.get(b, [])
             n_events = int(sum(r["n"] for r in probe))
             pending_prev, pending_n = (None, 0)
             if patchable:
@@ -251,9 +255,52 @@ class ReplayEngine:
                     )
                     red = reduce_batch(batch.drop(*drop), salted=self.salted)
                     reduced = self.sink._bucketed(red)
+                    audit_rows = None
+                    if precompute_stats and probe:
+                        audit_rows = [
+                            {
+                                "bucket": r["bucket"],
+                                "updated": r["updated"] or 0,
+                                "inserted": r["inserted"] or 0,
+                                "deleted": r["deleted"] or 0,
+                                "stale": r["stale"] or 0,
+                                "min_lsn": r["min_lsn"],
+                                "max_lsn": r["max_lsn"],
+                            }
+                            for r in probe
+                        ]
+                    # MERGE strategy (storage.py):
+                    #   full-outer — one wide shuffle join; right when the
+                    #     batch touches most keys of the affected buckets
+                    #     (the bench/backfill shape).
+                    #   delta — winners join + survivors broadcast
+                    #     anti-join; base streams scan→write with NO
+                    #     shuffle; right when the batch touches a small
+                    #     fraction (the steady-state 100 TB shape). Gated
+                    #     on broadcastable winner keys.
+                    delta_narrow = None
+                    base_rows = self.sink.table_rows(affected)
+                    winners = (
+                        sum(a["updated"] + a["inserted"] + a["deleted"]
+                            for a in audit_rows)
+                        if audit_rows is not None else None
+                    )
+                    use_delta = (
+                        n_events <= self.delta_max_events
+                        and hasattr(self.sink, "_merge_delta")
+                        and base_rows is not None
+                        and (winners if winners is not None else n_events)
+                        < 0.3 * base_rows
+                    )
+                    if use_delta:
+                        delta_narrow = batch.groupBy(self.sink.key).agg(
+                            F.max(self.sink.order).alias("_clsn"),
+                            F.max_by("op", F.col(self.sink.order)).alias("_cop"),
+                        )
                     stats = self.sink.merge(
                         reduced, batch_id=b, affected=affected,
                         observe_stats=self.observe_stats,
+                        delta_narrow=delta_narrow, audit_rows=audit_rows,
                     )
                     _t = _mark("reduce+merge", _t)
                     if patchable:
@@ -279,6 +326,75 @@ class ReplayEngine:
         if finalize and has_patch_columns(events) and max_batches is None:
             self.flush_pending(events, n_batches)
         return summary
+
+    def _upfront_probe_and_stats(self, events: DataFrame, start: int,
+                                 batch_size: int) -> list:
+        """ONE narrow job computing, for every remaining batch slot:
+        per-bucket event counts, target schema version, AND the full
+        per-bucket audit stats (updated/inserted/deleted/stale, min/max
+        lsn) — valid for patch-free streams only.
+
+        The trick: after batch b the table's LSN guard for a key equals
+        max(base lsn, every event lsn in batches ≤ b) — winners always
+        apply and losers never raise it. So "did batch b's reduced row
+        win" is answerable from the log alone with a per-key running max
+        over batch ids (base rows ride along as batch −1), no per-batch
+        action against evolving sink state. This replaces n_batches
+        narrow stats jobs with one window over ~(keys × batches) narrow
+        rows."""
+        from pyspark.sql import Window
+
+        key, order = self.sink.key, self.sink.order
+        bid = F.expr(f"CAST(delivery_seq DIV {int(batch_size)} AS INT)")
+        red_all = (
+            events.filter(F.col("delivery_seq") >= start * batch_size)
+            .groupBy(bid.alias("_bid"), F.col(key))
+            .agg(
+                F.max(order).alias("_clsn"),
+                F.max_by("op", F.col(order)).alias("_cop"),
+                F.count(F.lit(1)).alias("_n"),
+                F.max("schema_version").alias("_v"),
+                F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("_p"),
+            )
+        )
+        base_n = (
+            self.sink.read(include_deleted=True)
+            .select(
+                F.col(key),
+                F.col(order).alias("_clsn"),
+                F.lit(-1).alias("_bid"),
+                F.lit(None).cast("string").alias("_cop"),
+                F.lit(0).cast("long").alias("_n"),
+                F.lit(None).cast("int").alias("_v"),
+                F.lit(0).alias("_p"),
+            )
+        )
+        cols = ["_bid", key, "_clsn", "_cop", "_n", "_v", "_p"]
+        u = red_all.select(*cols).unionByName(base_n.select(*cols))
+        w = (
+            Window.partitionBy(key).orderBy("_bid")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        u = u.withColumn("_prev", F.max("_clsn").over(w)).filter(F.col("_bid") >= 0)
+        wins = F.col("_prev").isNull() | (F.col("_clsn") > F.col("_prev"))
+        was = F.col("_prev").isNotNull()
+        dele = F.col("_cop") == "delete"
+        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(self.sink.n_buckets)).cast("int")
+        return (
+            u.groupBy(F.col("_bid"), bucket.alias("bucket"))
+            .agg(
+                F.sum("_n").alias("n"),
+                F.max("_v").alias("v"),
+                F.max("_p").alias("p"),
+                F.sum(F.when(wins & ~dele & was, 1).otherwise(0)).alias("updated"),
+                F.sum(F.when(wins & ~dele & ~was, 1).otherwise(0)).alias("inserted"),
+                F.sum(F.when(wins & dele, 1).otherwise(0)).alias("deleted"),
+                F.sum(F.when(~wins, 1).otherwise(0)).alias("stale"),
+                F.min("_clsn").alias("min_lsn"),
+                F.max("_clsn").alias("max_lsn"),
+            )
+            .collect()
+        )
 
     def flush_pending(self, events: DataFrame, flush_batch_id: int) -> None:
         """Terminal flush of watermark-parked patches: once the bounded

@@ -132,7 +132,9 @@ class ParquetMergeSink:
             for b in range(self.n_buckets):
                 d = os.path.join(snap_dir, f"bucket={b}")
                 if os.path.isdir(d):
-                    buckets[str(b)] = {"path": f"snap-0/bucket={b}", "schema_id": 0}
+                    buckets[str(b)] = {"path": f"snap-0/bucket={b}",
+                                       "schema_id": 0,
+                                       "rows": self._dir_rows(d)}
         m = {
             "snapshot_id": 0,
             "batch_id": -1,
@@ -248,7 +250,8 @@ class ParquetMergeSink:
     def merge(self, changes: DataFrame, batch_id: int,
               affected: list[int] | None = None,
               audit_rows: list[dict] | None = None,
-              observe_stats: bool = False) -> dict | None:
+              observe_stats: bool = False,
+              delta_narrow: DataFrame | None = None) -> dict | None:
         """LSN-guarded MERGE of a reduced batch (one row per key, with an
         ``op`` column) into the table. Copy-on-write on affected buckets
         only. Returns per-batch metrics dict, or None if the batch was
@@ -296,6 +299,10 @@ class ParquetMergeSink:
             self._commit(m)
             return {"batch_id": batch_id, "applied": 0, "deleted": 0,
                     "inserted": 0, "stale": 0, "buckets": []}
+
+        if delta_narrow is not None:
+            return self._merge_delta(ch, batch_id, affected, delta_narrow, m,
+                                     _mark, audit_rows=audit_rows)
 
         base = self.read(buckets=affected, with_bucket=True, include_deleted=True)
         # _align keeps op/bucket as pass-through extras — no re-join needed
@@ -420,13 +427,46 @@ class ParquetMergeSink:
         _mark("audit-write")
         if audit_rows is None and not use_observe:
             merged.unpersist()
+        return self._commit_snapshot(m, batch_id, sid, snap_rel, snap_dir,
+                                     affected, audit)
 
-        # ---- commit: new manifest, atomic HEAD swap
+    @staticmethod
+    def _dir_rows(path: str) -> int:
+        """Row count of a bucket dir from parquet footers (no Spark job)."""
+        import pyarrow.parquet as pq
+
+        return sum(
+            pq.read_metadata(os.path.join(path, f)).num_rows
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    def table_rows(self, buckets: list[int] | None = None) -> int | None:
+        """Stored rows (incl. tombstones) in the given buckets, from the
+        manifest — drives the engine's merge-strategy choice. None for
+        pre-rows manifests."""
+        m = self.manifest()
+        want = None if buckets is None else {str(b) for b in buckets}
+        total = 0
+        for b, ent in m["buckets"].items():
+            if want is not None and b not in want:
+                continue
+            if "rows" not in ent:
+                return None
+            total += ent["rows"]
+        return total
+
+    def _commit_snapshot(self, m: dict, batch_id: int, sid: int,
+                         snap_rel: str, snap_dir: str, affected: list[int],
+                         audit: list[dict]) -> dict:
+        """Shared commit tail: manifest bucket bookkeeping + atomic HEAD
+        swap + totals."""
         for b in affected:
             d = os.path.join(snap_dir, f"bucket={b}")
             if os.path.isdir(d):
                 m["buckets"][str(b)] = {"path": f"{snap_rel}/bucket={b}",
-                                        "schema_id": m["schema_id"]}
+                                        "schema_id": m["schema_id"],
+                                        "rows": self._dir_rows(d)}
             else:
                 m["buckets"].pop(str(b), None)  # bucket emptied by deletes
         m["snapshot_id"] = sid
@@ -434,8 +474,7 @@ class ParquetMergeSink:
         m["commits"].append({"batch_id": batch_id, "snapshot_id": sid,
                              "buckets": affected, "wall_ts": time.time()})
         self._commit(m)
-
-        totals = {
+        return {
             "batch_id": batch_id,
             "applied": sum(a["updated"] + a["inserted"] for a in audit),
             "inserted": sum(a["inserted"] for a in audit),
@@ -443,7 +482,116 @@ class ParquetMergeSink:
             "stale": sum(a["stale"] for a in audit),
             "buckets": affected,
         }
-        return totals
+
+    def _merge_delta(self, ch: DataFrame, batch_id: int, affected: list[int],
+                     delta_narrow: DataFrame, m: dict, _mark,
+                     audit_rows: list[dict] | None = None) -> dict:
+        """Shuffle-light MERGE for full-write (patch-free) batches.
+
+        The full-outer formulation shuffles the WHOLE base of every
+        affected bucket and caches the wide join (token arrays — measured
+        more expensive than recompute) just to tell winners from
+        survivors. This path splits the work:
+
+        * one NARROW stats job — ``delta_narrow`` (per-key max lsn +
+          winning op, built by the engine from a 3-column scan of the raw
+          batch) left-joins a 2-column base read; per-bucket
+          updated/inserted/deleted/stale/min/max lsn collect here. No
+          token array is ever read, shuffled, or cached for stats.
+        * the WINNERS write — the reduced changes join the same 2-column
+          base read (broadcast-size per AQE) and keep rows whose lsn
+          beats the base; written per bucket. The only wide shuffle left
+          is the batch reduction itself.
+        * the SURVIVORS write — base rows whose key is NOT in the winner
+          set, via a broadcast left-anti join on the narrow winner keys;
+          the base scan streams straight to the writer with NO shuffle
+          and NO sort (bucket files are read and rewritten in their
+          existing (bucket, key) order).
+
+        Equivalent output to the full-outer path (same rows, same
+        tombstones, same audit); at 100 TB the survivors path is the
+        copy-on-write bulk and it became shuffle-free. The engine gates
+        this path on batch size (broadcastable winner keys) and bucket
+        count; oversized batches fall back to the full-outer form.
+        """
+        schema = self.current_schema()
+        table_cols = [f.name for f in schema.fields]
+        sid = m["snapshot_id"] + 1
+        snap_rel = f"snap-{sid}"
+        snap_dir = os.path.join(self.data_dir, snap_rel)
+        has_base = any(str(b) in m["buckets"] for b in affected)
+
+        base_narrow = self.read(buckets=affected, include_deleted=True).select(
+            F.col(self.key), F.col(self.order).alias("_blsn")
+        )
+        d = self._bucketed(delta_narrow).join(base_narrow, self.key, "left")
+        wins = F.col("_blsn").isNull() | (F.col("_clsn") > F.col("_blsn"))
+        was = F.col("_blsn").isNotNull()
+        dele = F.col("_cop") == "delete"
+        cached = None
+        if audit_rows is None:
+            # d is tiny (3 narrow columns, one row per changed key) —
+            # caching it is cheap and lets the stats collect and the
+            # survivors broadcast build share ONE materialization (unlike
+            # token-array frames, which are cheaper to recompute). When
+            # the engine precomputed the audit upfront (patch-free
+            # streams), no per-batch action runs here at all.
+            cached = d = d.cache()
+            stats = (
+                d.groupBy("bucket")
+                .agg(
+                    F.sum(F.when(wins & ~dele & was, 1).otherwise(0)).alias("updated"),
+                    F.sum(F.when(wins & ~dele & ~was, 1).otherwise(0)).alias("inserted"),
+                    F.sum(F.when(wins & dele, 1).otherwise(0)).alias("deleted"),
+                    F.sum(F.when(~wins, 1).otherwise(0)).alias("stale"),
+                    F.min("_clsn").alias("min_lsn"),
+                    F.max("_clsn").alias("max_lsn"),
+                )
+                .collect()
+            )
+            _mark("delta-stats")
+            audit_rows = [
+                {
+                    "bucket": r["bucket"],
+                    "updated": r["updated"] or 0, "inserted": r["inserted"] or 0,
+                    "deleted": r["deleted"] or 0, "stale": r["stale"] or 0,
+                    "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
+                }
+                for r in stats
+            ]
+        audit = [
+            {**row, "batch_id": batch_id, "snapshot_id": sid}
+            for row in audit_rows
+        ]
+
+        c = self._align(ch.drop("delivery_seq"), schema)
+        cw = c.join(d.select(self.key, "_blsn"), self.key, "left").filter(
+            F.col("_blsn").isNull() | (F.col(self.order) > F.col("_blsn"))
+        )
+        out = cw.select(
+            *table_cols,
+            (F.col("op") == "delete").alias("_deleted"),
+            "bucket",
+        ).repartition(len(affected), "bucket").sortWithinPartitions(
+            "bucket", self.key
+        )
+        if has_base:
+            win_keys = d.filter(wins).select(self.key)
+            base = self.read(buckets=affected, with_bucket=True,
+                             include_deleted=True)
+            surv = base.join(F.broadcast(win_keys), self.key, "left_anti")
+            # plain union concatenates the two legs' partitions — the
+            # survivors leg streams scan→filter→write with no shuffle and
+            # keeps its existing (bucket, key) file order
+            out = out.unionByName(surv.select(*table_cols, "_deleted", "bucket"))
+        out.write.partitionBy("bucket").mode("overwrite").parquet(snap_dir)
+        _mark("delta-write")
+        if cached is not None:
+            cached.unpersist()
+
+        self._write_audit(batch_id, audit)
+        return self._commit_snapshot(m, batch_id, sid, snap_rel, snap_dir,
+                                     affected, audit)
 
     def read_audit(self) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self.audit_dir, "*"))

@@ -91,17 +91,17 @@ def ngram_jaccard_pairs(
     issuing many calls should spark.catalog.clearCache() between them."""
     sh = docs.select(
         F.col(id_col).alias("id"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
-    ).distinct()
+    ).distinct().cache()
     if max_df is not None:
-        # df per shingle is a map-side-combinable agg; the broadcast of
-        # surviving-or-not routes through a join on the (small) hot set:
-        # anti-join against shingles whose df exceeds the cap.
+        # df per shingle is a map-side-combinable agg over the CACHED
+        # frame (one materialization feeds the df-agg, the size agg, and
+        # both join sides); the cap itself is a broadcast anti-join
+        # against the small hot set.
         hot = (
             sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
             .filter(F.col("_df") > max_df).select("sh")
         )
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
-    sh = sh.cache()
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     common = (
