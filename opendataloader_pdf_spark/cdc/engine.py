@@ -89,12 +89,18 @@ class ReplayEngine:
         pending_path: str | None = None,
         disorder_window: int = 64,
         delta_max_events: int = 8_000_000,
+        precompute_stats_max_batch: int = 4_000_000,
     ):
         self.pending_path = pending_path
         #: batch-size gate for the delta-merge fast path: its survivors
         #: anti-join broadcasts the batch's winner KEYS (≤ distinct keys ≤
         #: events); above this, fall back to the shuffle full-outer MERGE.
         self.delta_max_events = delta_max_events
+        #: batch-size gate for the upfront audit-stats precompute: small
+        #: batches amortize the one per-key window job (each saves a
+        #: per-batch stats action); huge batches don't — their cached
+        #: in-merge stats pass is cheaper.
+        self.precompute_stats_max_batch = precompute_stats_max_batch
         #: bounded out-of-order delivery: |delivery_seq - lsn| < this.
         #: Drives the patch watermark — after batch b every full write
         #: with lsn <= (b+1)*batch_size - window has provably arrived, so
@@ -180,7 +186,16 @@ class ReplayEngine:
         # exact and replaces n_batches probe jobs with one.
         patchable = has_patch_columns(events)
         _t = time.time()
-        probe_rows = self._upfront_probe_and_stats(events, start, batch_size)
+        # stats precompute only pays when batches are small: its per-key
+        # reduce + window costs ~one batch-write of narrow shuffle, which
+        # many small batches amortize (each saves a stats action) and few
+        # huge batches don't (their cached in-merge stats pass is cheaper
+        # than the upfront window). The plain probe (per-bucket counts,
+        # no per-key work) is cheap at any size and always runs upfront.
+        want_stats = batch_size <= self.precompute_stats_max_batch
+        probe_rows = self._upfront_probe_and_stats(
+            events, start, batch_size, with_stats=want_stats
+        )
         probe_by_batch: dict[int, list] = {}
         any_patches = False
         for r in probe_rows:
@@ -191,7 +206,8 @@ class ReplayEngine:
         # in the remaining log (patch application rewrites row lsns and
         # parks/revives rows across batches)
         precompute_stats = (
-            not any_patches
+            want_stats
+            and not any_patches
             and self._pending_head() < 0
             and hasattr(self.sink, "_merge_delta")
         )
@@ -328,7 +344,8 @@ class ReplayEngine:
         return summary
 
     def _upfront_probe_and_stats(self, events: DataFrame, start: int,
-                                 batch_size: int) -> list:
+                                 batch_size: int,
+                                 with_stats: bool = True) -> list:
         """ONE narrow job computing, for every remaining batch slot:
         per-bucket event counts, target schema version, AND the full
         per-bucket audit stats (updated/inserted/deleted/stale, min/max
@@ -346,6 +363,23 @@ class ReplayEngine:
 
         key, order = self.sink.key, self.sink.order
         bid = F.expr(f"CAST(delivery_seq DIV {int(batch_size)} AS INT)")
+        if not with_stats:
+            # probe-only: per-(batch, bucket) counts/version/patch-flag —
+            # a tiny agg over the narrow scan, no per-key shuffle
+            return (
+                events.filter(F.col("delivery_seq") >= start * batch_size)
+                .groupBy(
+                    bid.alias("_bid"),
+                    F.pmod(F.xxhash64(F.col(key)),
+                           F.lit(self.sink.n_buckets)).cast("int").alias("bucket"),
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.max("schema_version").alias("v"),
+                    F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p"),
+                )
+                .collect()
+            )
         red_all = (
             events.filter(F.col("delivery_seq") >= start * batch_size)
             .groupBy(bid.alias("_bid"), F.col(key))

@@ -145,14 +145,25 @@ def xy_cut_order(
     top: str = "top_y",
     min_gap: float = 5.0,
     cross_layout_beta: float = 0.9,
+    density_threshold: float = 0.9,
     rank_col: str = "reading_rank",
 ) -> DataFrame:
     """XY-Cut++ reading order per page group.
 
-    Phases per the reference: (1) mask cross-layout elements (width ≥
-    β·max_width with ≥2 horizontal overlaps); (2) recursive largest-gap
-    projection cuts (y preferred); (3) merge masked elements back by top
-    coordinate. Emits input columns + 0-based ``reading_rank``.
+    Phases per the reference (XYCutPlusPlusSorter.sort, :95-116):
+    (1) mask cross-layout elements — width ≥ β·max_width with ≥2
+    horizontal overlaps (identifyCrossLayoutElements, :133-175);
+    (2) density ratio of the remaining content — content area / bounding
+    region area (computeDensityRatio, :247-267) — sets the axis
+    preference: dense layouts (> threshold, newspapers) prefer
+    horizontal cuts, sparse ones vertical. The reference threads this
+    flag as the cut tiebreaker (:337); we apply exactly that: the larger
+    qualifying gap wins, equal gaps follow the density preference;
+    (3) recursive projection-profile cuts;
+    (4) two-pointer merge-sort of the masked elements back by top-Y
+    (mergeCrossLayoutElements, :558-602 — cross element goes first when
+    its top is at or above the next main element's).
+    Emits input columns + 0-based ``reading_rank``.
     """
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField(rank_col, T.IntegerType(), False)]
@@ -169,23 +180,47 @@ def xy_cut_order(
         by = pdf[bottom].to_numpy(float)
         ty = pdf[top].to_numpy(float)
         width = rx - lx
-        # cross-layout mask: very wide elements overlapping ≥2 others horizontally
+        # cross-layout mask: very wide elements overlapping ≥2 others
+        # horizontally. The O(n²) overlap matrix is bounded by PAGE size
+        # (grouping key = one page, tens-to-hundreds of elements), never
+        # by table size — guard pathological groups anyway.
         maxw = width.max() if n else 0.0
+        if n > 10_000:
+            raise ValueError(
+                f"xy_cut_order group of {n} rows — the per-page overlap "
+                "matrix is quadratic; check the partition key"
+            )
         overlaps = (
             (lx[:, None] < rx[None, :]) & (rx[:, None] > lx[None, :]) & ~np.eye(n, dtype=bool)
         ).sum(axis=1)
         masked = (width >= cross_layout_beta * maxw) & (overlaps >= 2) & (n > 2)
         body = np.nonzero(~masked)[0]
         cross = np.nonzero(masked)[0]
-        order = _xy_cut(body, lx, rx, by, ty, min_gap, prefer_x=False)
-        # merge cross-layout back by top coordinate (descending y)
-        result = list(order)
-        for c in sorted(cross.tolist(), key=lambda i: -ty[i]):
-            pos = 0
-            for j, o in enumerate(result):
-                if ty[o] > ty[c]:
-                    pos = j + 1
-            result.insert(pos, c)
+        # density ratio over the remaining (body) content
+        if len(body):
+            bw = rx[body].max() - lx[body].min()
+            bh = ty[body].max() - by[body].min()
+            region = bw * bh
+            content = ((rx[body] - lx[body]) * (ty[body] - by[body])).sum()
+            density = min(1.0, content / region) if region > 0 else 1.0
+        else:
+            density = 1.0
+        prefer_horizontal = density > density_threshold
+        order = _xy_cut(body, lx, rx, by, ty, min_gap,
+                        prefer_x=not prefer_horizontal)
+        # two-pointer merge of cross-layout elements by top-Y (desc), x asc
+        cross_sorted = sorted(cross.tolist(), key=lambda i: (-ty[i], lx[i]))
+        result: list[int] = []
+        mi, ci = 0, 0
+        while mi < len(order) or ci < len(cross_sorted):
+            if ci >= len(cross_sorted):
+                result.append(order[mi]); mi += 1
+            elif mi >= len(order):
+                result.append(cross_sorted[ci]); ci += 1
+            elif ty[cross_sorted[ci]] >= ty[order[mi]]:
+                result.append(cross_sorted[ci]); ci += 1
+            else:
+                result.append(order[mi]); mi += 1
         ranks = np.empty(n, dtype=np.int32)
         for r, i in enumerate(result):
             ranks[i] = r

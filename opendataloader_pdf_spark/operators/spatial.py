@@ -100,6 +100,57 @@ def interval_overlap_join(
     return j.drop("_b")
 
 
+def bbox_containment_join(
+    points: DataFrame,
+    boxes: DataFrame,
+    x_col: str, y_col: str,
+    x_lo: str, x_hi: str, y_lo: str, y_hi: str,
+    x_width: float, y_width: float,
+    extra_on: list[str] | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """2-D containment join: each point row joins box rows with
+    x_lo <= x < x_hi AND y_lo <= y < y_hi.
+
+    The full 2-D form of the reference's table-grid routing
+    (TableBorderProcessor.addContentToTableBorder, :53-89: route each
+    content chunk to the grid CELL whose bbox contains it). Boxes explode
+    to every (bx, by) grid cell they overlap — a 2-D ``sequence`` cross
+    via transform/flatten, JVM-side — points key to their single cell;
+    the equi-join on the composite cell key prunes candidate pairs to
+    co-located cells; exact predicates refine. Cell widths ≈ median box
+    extent per axis keep the explosion factor small."""
+    extra_on = extra_on or []
+    p = points.withColumn(
+        "_bx", F.floor(F.col(x_col) / F.lit(x_width)).cast("long")
+    ).withColumn("_by", F.floor(F.col(y_col) / F.lit(y_width)).cast("long"))
+    xs = F.sequence(
+        F.floor(F.col(x_lo) / F.lit(x_width)).cast("long"),
+        F.floor((F.col(x_hi) - F.lit(1e-12)) / F.lit(x_width)).cast("long"),
+    )
+    ys = F.sequence(
+        F.floor(F.col(y_lo) / F.lit(y_width)).cast("long"),
+        F.floor((F.col(y_hi) - F.lit(1e-12)) / F.lit(y_width)).cast("long"),
+    )
+    cells = F.flatten(
+        F.transform(xs, lambda bx: F.transform(ys, lambda by: F.struct(
+            bx.alias("bx"), by.alias("by")
+        )))
+    )
+    b = (
+        boxes.withColumn("_cell", F.explode(cells))
+        .withColumn("_bx", F.col("_cell.bx"))
+        .withColumn("_by", F.col("_cell.by"))
+        .drop("_cell")
+    )
+    j = p.join(b, on=[*extra_on, "_bx", "_by"], how=how)
+    j = j.filter(
+        (F.col(x_col) >= F.col(x_lo)) & (F.col(x_col) < F.col(x_hi))
+        & (F.col(y_col) >= F.col(y_lo)) & (F.col(y_col) < F.col(y_hi))
+    )
+    return j.drop("_bx", "_by")
+
+
 def overlap_fraction(
     a_lo: Column, a_hi: Column, b_lo: Column, b_hi: Column
 ) -> Column:

@@ -803,9 +803,29 @@ def lsh_topk(spark, sf_dir):
 
 
 @register(
-    "a2_fold_paragraphs", None,
+    "a2_fold_paragraphs",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type, value,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), seg AS (
+      SELECT user_id, event_type, value, event_id,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM flagged
+    )
+    SELECT user_id, event_type AS run_type, count(*)::INT AS n,
+           min(event_id) AS first_id, max(value) AS max_value
+    FROM seg GROUP BY user_id, run_id, event_type
+    """,
     doc="A2 order-dependent adjacent fold (ParagraphProcessor.java:30-48) "
-        "via grouped applyInPandas: merge runs of same event_type per user.",
+        "via grouped applyInPandas: merge runs of same event_type per "
+        "user. The chosen predicate (merge-while-same-type) is plain "
+        "sessionization, so the DuckDB twin checks the fold machinery "
+        "(the operator itself accepts arbitrary non-SQL predicates).",
 )
 def a2_fold_paragraphs(spark, sf_dir):
     import pandas as pd
@@ -820,7 +840,7 @@ def a2_fold_paragraphs(spark, sf_dir):
         T.StructField("run_type", T.StringType()),
         T.StructField("n", T.IntegerType()),
         T.StructField("first_id", T.LongType()),
-        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("max_value", T.DoubleType()),
     ])
 
     def merge_when(pdf: pd.DataFrame):
@@ -834,7 +854,10 @@ def a2_fold_paragraphs(spark, sf_dir):
             "run_type": g["event_type"].iloc[0],
             "n": int(len(g)),
             "first_id": int(g["event_id"].iloc[0]),
-            "sum_value": float(g["value"].sum()),
+            # max, not sum: pass-through of a stored double is exact in
+            # both engines; a float accumulation could drift vs the
+            # oracle's decimal sum
+            "max_value": float(g["value"].max()),
         }
 
     return fold_adjacent(ev, ["user_id"], "event_id", merge_when, out_schema, reduce_group)
@@ -1446,14 +1469,20 @@ def a13_overlap_reject(spark, sf_dir):
 
 
 @register(
-    "k1_json_lines", None,
-    doc="K1 JSON sink: whole-row to_json(struct(*)) (JsonWriter.java:41-77); "
-        "rows-only (JSON field ordering is engine-specific).",
+    "k1_json_lines",
+    """
+    SELECT to_json(struct_pack(n_name := n_name, n_nationkey := n_nationkey,
+                               n_regionkey := n_regionkey))::VARCHAR AS json
+    FROM nation
+    """,
+    doc="K1 JSON sink: whole-row to_json(struct(*)) (JsonWriter.java:41-77) "
+        "with sorted keys — both engines render compact JSON identically, "
+        "so the sink string itself is oracle-checked.",
 )
 def k1_json_lines(spark, sf_dir):
     from opendataloader_pdf_spark.sinks import to_json_lines
 
-    return to_json_lines(_t(spark, sf_dir, "nation"))
+    return to_json_lines(_t(spark, sf_dir, "nation"), sort_keys=True)
 
 
 @register(
@@ -1496,3 +1525,206 @@ def multimodal_frame_sample(spark, sf_dir):
         F.col("kind") == "video"
     )
     return sample_frames(media)
+
+
+# =====================================================================
+# Round-2 compositions: list construction, dim-join filter, 2-D
+# containment, tagged scan branch, line-art association
+# =====================================================================
+
+@register(
+    "a9_list_build",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id,
+             regexp_matches(event_type, '^(click|view)$') AS is_label,
+             CASE WHEN regexp_matches(event_type, '^(click|view)$')
+                   AND coalesce(NOT regexp_matches(lag(event_type) OVER win, '^(click|view)$'), true)
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW win AS (PARTITION BY user_id ORDER BY event_id)
+    ), seg AS (
+      SELECT user_id, event_id,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS interval_id
+      FROM flagged WHERE is_label
+    ), lists AS (
+      SELECT user_id, interval_id,
+             count(*) AS n_items, min(event_id) AS first_id, max(event_id) AS last_id
+      FROM seg GROUP BY user_id, interval_id
+      HAVING count(*) >= 2
+    )
+    SELECT user_id, interval_id, n_items, first_id, last_id,
+           CASE WHEN first_id - lag(last_id) OVER w <= 50
+                THEN lag(interval_id) OVER w END AS prev_id,
+           CASE WHEN lead(first_id) OVER w - last_id <= 50
+                THEN lead(interval_id) OVER w END AS next_id
+    FROM lists WINDOW w AS (PARTITION BY user_id ORDER BY first_id)
+    """,
+    doc="A9/A10 list construction composition (ListProcessor.java:195-378, "
+        "tested by the reference's ListProcessorTest): A8 label-interval "
+        "detection → interval→list entities → cross-group neighbor "
+        "linking (J4 link_neighbors) where the gap to the previous list "
+        "is small (the cross-page list-continuation rule, :403-522).",
+)
+def a9_list_build(spark, sf_dir):
+    lists = QUERIES["a8_label_intervals"].fn(spark, sf_dir)
+    linked = adj.link_neighbors(
+        lists, ["user_id"], "first_id", "interval_id",
+        link_when=(F.col("first_id") - F.col("_prev_last_id")) <= 50,
+    )
+    return linked.select(
+        "user_id", "interval_id", "n_items", "first_id", "last_id",
+        "prev_id", "next_id",
+    )
+
+
+@register(
+    "f5_bounds_filter",
+    """
+    WITH dims AS (
+      SELECT p_brand,
+             min(p_retailprice) AS lo,
+             min(p_retailprice) + 0.8 * (max(p_retailprice) - min(p_retailprice)) AS hi
+      FROM part GROUP BY p_brand
+    )
+    SELECT p_partkey, p.p_brand, p_retailprice
+    FROM part p JOIN dims d ON p.p_brand = d.p_brand
+    WHERE p_retailprice >= d.lo AND p_retailprice < d.hi
+    """,
+    doc="F5/F6/A7 dim-table-join filter (ContentFilterProcessor.java:75-121: "
+        "drop content outside the page's crop-box dims): fact rows filter "
+        "against a BROADCAST per-group bounds dim table — the plan shows a "
+        "BroadcastHashJoin, never a shuffle of the fact side (PLANS.md).",
+)
+def f5_bounds_filter(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    dims = part.groupBy("p_brand").agg(
+        F.min("p_retailprice").alias("lo"),
+        (F.min("p_retailprice")
+         + 0.8 * (F.max("p_retailprice") - F.min("p_retailprice"))).alias("hi"),
+    )
+    return (
+        part.join(F.broadcast(dims), "p_brand")
+        .filter((F.col("p_retailprice") >= F.col("lo"))
+                & (F.col("p_retailprice") < F.col("hi")))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "j1_bbox_containment",
+    """
+    SELECT p.p_partkey AS partkey, count(*) AS n_contained,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+    FROM part p JOIN lineitem l
+      ON l.l_extendedprice >= p.p_retailprice
+     AND l.l_extendedprice <  p.p_retailprice + 50
+     AND l.l_quantity >= p.p_size
+     AND l.l_quantity <  p.p_size + 10
+    GROUP BY p.p_partkey
+    """,
+    doc="J1 full 2-D bbox containment join (TableBorderProcessor.java:53-89: "
+        "route each chunk to the table-grid CELL containing it): boxes "
+        "explode to 2-D grid cells, equi-join on the composite (bx, by) "
+        "cell key, exact 2-D predicate refines — the 2-D composition of "
+        "interval_containment_join.",
+)
+def j1_bbox_containment(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_quantity")
+    boxes = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_retailprice").alias("x_lo"),
+        (F.col("p_retailprice") + 50).alias("x_hi"),
+        F.col("p_size").cast("double").alias("y_lo"),
+        (F.col("p_size") + 10).cast("double").alias("y_hi"),
+    )
+    j = sp.bbox_containment_join(
+        li, boxes, x_col="l_extendedprice", y_col="l_quantity",
+        x_lo="x_lo", x_hi="x_hi", y_lo="y_lo", y_hi="y_hi",
+        x_width=50.0, y_width=10.0,
+    )
+    return j.groupBy(F.col("p_partkey").alias("partkey")).agg(
+        F.count(F.lit(1)).alias("n_contained"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_price"),
+    )
+
+
+@register(
+    "s2_tagged_scan",
+    """
+    SELECT doc_id, 'tagged' AS branch, lang AS lang_out FROM documents
+    UNION ALL
+    SELECT doc_id, 'derived' AS branch,
+      CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+           WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+           WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+           WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+           ELSE 'fr' END AS lang_out
+    FROM (
+      SELECT doc_id,
+        len(regexp_extract_all(lower(text), '\\bthe\\b')) + len(regexp_extract_all(lower(text), '\\band\\b'))
+          + len(regexp_extract_all(lower(text), '\\bof\\b')) + len(regexp_extract_all(lower(text), '\\bto\\b'))
+          + len(regexp_extract_all(lower(text), '\\bis\\b'))  AS s_en,
+        len(regexp_extract_all(lower(text), '\\bel\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+          + len(regexp_extract_all(lower(text), '\\bde\\b')) + len(regexp_extract_all(lower(text), '\\bque\\b'))
+          + len(regexp_extract_all(lower(text), '\\blos\\b')) AS s_es,
+        len(regexp_extract_all(lower(text), '\\bder\\b')) + len(regexp_extract_all(lower(text), '\\bdie\\b'))
+          + len(regexp_extract_all(lower(text), '\\bund\\b')) + len(regexp_extract_all(lower(text), '\\bdas\\b'))
+          + len(regexp_extract_all(lower(text), '\\bist\\b')) AS s_de,
+        len(regexp_extract_all(lower(text), '\\ble\\b')) + len(regexp_extract_all(lower(text), '\\bla\\b'))
+          + len(regexp_extract_all(lower(text), '\\bet\\b')) + len(regexp_extract_all(lower(text), '\\bles\\b'))
+          + len(regexp_extract_all(lower(text), '\\bdes\\b')) AS s_fr
+      FROM documents
+    )
+    """,
+    doc="S2 tagged/schema-on-read scan branch (TaggedDocumentProcessor."
+        "java:28-63): a source OPTION switches between trusting the "
+        "file's own tags (stored lang column) and re-deriving structure "
+        "(lang_id over text) — same scan, different pruned columns per "
+        "branch (sources.tables.scan_documents).",
+)
+def s2_tagged_scan(spark, sf_dir):
+    from opendataloader_pdf_spark.sources.tables import scan_documents
+
+    a = scan_documents(spark, sf_dir, tagged=True)
+    b = scan_documents(spark, sf_dir, tagged=False)
+    return a.unionByName(b).select("doc_id", "branch", "lang_out")
+
+
+@register(
+    "j6_lineart_assoc",
+    """
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type,
+             max(CASE WHEN event_type = 'click' THEN event_id END)
+               OVER (PARTITION BY user_id ORDER BY event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click
+      FROM events
+    )
+    SELECT event_id, user_id,
+           CASE WHEN event_id - prev_click <= 20 THEN prev_click END AS rule_id
+    FROM tagged WHERE event_type = 'purchase'
+    """,
+    doc="J6 line-art→line association (TextLineProcessor.java:59-82: "
+        "attach each horizontal rule to the text line just above within "
+        "a distance cap): lag-window shape — for each 'purchase' attach "
+        "the nearest preceding 'click' within the gap cap, no self-join.",
+)
+def j6_lineart_assoc(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    w = (
+        Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_click = F.max(
+        F.when(F.col("event_type") == "click", F.col("event_id"))
+    ).over(w)
+    out = ev.withColumn("prev_click", prev_click).filter(
+        F.col("event_type") == "purchase"
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.when(F.col("event_id") - F.col("prev_click") <= 20,
+               F.col("prev_click")).alias("rule_id"),
+    )

@@ -21,9 +21,12 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def to_json_lines(df: DataFrame) -> DataFrame:
-    """One JSON object per row over all columns → single `json` column."""
-    return df.select(F.to_json(F.struct(*df.columns)).alias("json"))
+def to_json_lines(df: DataFrame, sort_keys: bool = False) -> DataFrame:
+    """One JSON object per row over all columns → single `json` column.
+    ``sort_keys`` emits fields in alphabetical order (deterministic,
+    engine-portable rendering — the oracle-checkable form)."""
+    cols = sorted(df.columns) if sort_keys else df.columns
+    return df.select(F.to_json(F.struct(*cols)).alias("json"))
 
 
 def to_markdown_rows(df: DataFrame, cols: list[str] | None = None) -> DataFrame:

@@ -22,3 +22,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """One driver-generated table. Plain parquet scan — predicate
     pushdown and column pruning come free from Catalyst."""
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def scan_documents(spark: SparkSession, sf_dir: str,
+                   tagged: bool = False) -> DataFrame:
+    """Config-switched document source (S2): the reference branches at
+    scan time between deriving structure and trusting the file's own tags
+    (TaggedDocumentProcessor.java:28-63 — "if the PDF is tagged, take the
+    structure tree as-is"). Spark analog: ``tagged=True`` trusts the
+    stored ``lang`` column; ``tagged=False`` drops it and re-derives
+    language downstream (functions.text.lang_id). Both branches are the
+    same parquet scan — the switch selects which columns reach the plan,
+    so column pruning differs per branch (verify with .explain →
+    ReadSchema)."""
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.functions import text as X
+
+    docs = load_table(spark, sf_dir, "documents")
+    if tagged:
+        return docs.select(
+            "doc_id", "text", F.col("lang").alias("lang_out"),
+            F.lit("tagged").alias("branch"),
+        )
+    return docs.select(
+        "doc_id", "text", X.lang_id(F.col("text")).alias("lang_out"),
+        F.lit("derived").alias("branch"),
+    )

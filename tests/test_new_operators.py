@@ -137,7 +137,12 @@ def test_iceberg_sink_contract(spark, tmp_path):
     from opendataloader_pdf_spark.session import iceberg_available
 
     if not iceberg_available():
-        pytest.skip("no iceberg runtime jar in this environment")
+        # blocked by environment: the sandbox is fully offline (maven DNS
+        # fails, pip index empty — verified 2026-08-17), so the
+        # iceberg-spark-runtime jar cannot be provisioned. Set
+        # SPARK_ICEBERG_JAR or drop the jar into pyspark/jars to run.
+        pytest.skip("no iceberg runtime jar in this environment (offline "
+                    "sandbox; jar not provisionable)")
     from opendataloader_pdf_spark.cdc.iceberg import IcebergSink
     from opendataloader_pdf_spark.cdc import ReplayEngine
     from opendataloader_pdf_spark.datagen import gen_change_events

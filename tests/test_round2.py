@@ -120,6 +120,75 @@ def test_interval_overlap_join_emits_each_pair_once(spark):
     assert sorted(rows) == [(1, 10), (1, 11)]   # b_12 doesn't overlap
 
 
+# ------------------------------------------------- XY-Cut++ fidelity
+
+def _xy_rows(spark, boxes):
+    """boxes: list of (label, left, top, right, bottom) in PDF coords
+    (y grows upward, as in the reference's createTextLine(left, top,
+    right, bottom))."""
+    return spark.createDataFrame(
+        [("d", 1, lab, float(l), float(r), float(b), float(t))
+         for lab, l, t, r, b in boxes],
+        "doc_id string, page int, label string, left_x double, "
+        "right_x double, bottom_y double, top_y double",
+    )
+
+
+def _xy_order(spark, boxes, **kw):
+    from opendataloader_pdf_spark.operators.folds import xy_cut_order
+
+    df = _xy_rows(spark, boxes)
+    out = xy_cut_order(df, **kw)
+    rows = sorted(out.collect(), key=lambda r: r["reading_rank"])
+    return [r["label"] for r in rows]
+
+
+def test_xy_cut_single_column_top_to_bottom(spark):
+    # XYCutPlusPlusSorterTest.sort_singleColumn_topToBottom (:61-76)
+    order = _xy_order(spark, [
+        ("C", 10, 70, 100, 60),
+        ("A", 10, 90, 100, 80),
+        ("B", 10, 80, 100, 70),
+    ])
+    assert order == ["A", "B", "C"]
+
+
+def test_xy_cut_wide_header_cross_layout(spark):
+    # XYCutPlusPlusSorterTest.identifyCrossLayoutElements_wideHeader
+    # (:80-100): header (width 180 >= 0.7*180) overlapping both columns
+    # is masked, columns read left column then right, header merges first
+    order = _xy_order(spark, [
+        ("Header", 10, 95, 190, 85),
+        ("Col1-A", 10, 75, 50, 65),
+        ("Col1-B", 10, 55, 50, 45),
+        ("Col2-A", 100, 75, 140, 65),
+        ("Col2-B", 100, 55, 140, 45),
+    ], cross_layout_beta=0.7)
+    assert order == ["Header", "Col1-A", "Col1-B", "Col2-A", "Col2-B"]
+
+
+def test_xy_cut_narrow_elements_not_cross_layout(spark):
+    # :102-112 — similar widths → nothing masked, plain top-to-bottom
+    order = _xy_order(spark, [
+        ("A", 10, 90, 50, 80),
+        ("B", 10, 70, 50, 60),
+        ("C", 10, 50, 50, 40),
+    ], cross_layout_beta=0.7)
+    assert order == ["A", "B", "C"]
+
+
+def test_xy_cut_two_columns_reads_left_then_right(spark):
+    # two-column layout: vertical gap between columns > min_gap → left
+    # column fully precedes right column
+    order = _xy_order(spark, [
+        ("R1", 100, 90, 140, 80),
+        ("L1", 10, 90, 50, 80),
+        ("R2", 100, 70, 140, 60),
+        ("L2", 10, 70, 50, 60),
+    ])
+    assert order == ["L1", "L2", "R1", "R2"]
+
+
 # ------------------------------------------------- finalized-flush guard
 
 EV_SCHEMA = (

@@ -138,9 +138,13 @@ def main() -> None:
     # RAM-backed by default: the sink table is the "lake"; object-store
     # bandwidth scales with a real cluster, the sandbox's one disk doesn't.
     p.add_argument("--workdir", default="/dev/shm/scaling_bench")
-    p.add_argument("--events", type=int, default=4_000_000)
-    p.add_argument("--docs", type=int, default=200_000)
-    p.add_argument("--batch-size", type=int, default=1_000_000)
+    # defaults = the REPORTED configuration (BENCH/BASELINE.md): big
+    # enough that per-batch parallel work dominates fixed micro-batch
+    # costs at both levels. Small configs (e.g. 4M/1M) measure driver
+    # fixed costs, not scaling structure — don't report those.
+    p.add_argument("--events", type=int, default=48_000_000)
+    p.add_argument("--docs", type=int, default=1_200_000)
+    p.add_argument("--batch-size", type=int, default=12_000_000)
     p.add_argument("--levels", default="2,8")
     p.add_argument("--attempts", type=int, default=2,
                help="replays per level per trial in one JVM; the first "
