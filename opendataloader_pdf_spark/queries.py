@@ -1728,3 +1728,78 @@ def j6_lineart_assoc(spark, sf_dir):
         F.when(F.col("event_id") - F.col("prev_click") <= 20,
                F.col("prev_click")).alias("rule_id"),
     )
+
+
+@register(
+    "a10_lists_from_paragraphs",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), seg0 AS (
+      SELECT user_id, event_id, event_type,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+      FROM flagged
+    ), runs AS (
+      SELECT user_id, run_id, event_type AS run_value, min(event_id) AS first_id
+      FROM seg0 GROUP BY user_id, run_id, event_type
+    ), labeled AS (
+      SELECT user_id, run_id, run_value, first_id,
+             regexp_matches(run_value, '^(click|view)$') AS is_label,
+             CASE WHEN regexp_matches(run_value, '^(click|view)$')
+                   AND coalesce(NOT regexp_matches(lag(run_value) OVER w2, '^(click|view)$'), true)
+                  THEN 1 ELSE 0 END AS lboundary
+      FROM runs
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+    ), seg AS (
+      SELECT user_id, run_id, first_id,
+             sum(lboundary) OVER (PARTITION BY user_id ORDER BY run_id
+                                  ROWS UNBOUNDED PRECEDING)::BIGINT AS list_id
+      FROM labeled WHERE is_label
+    )
+    SELECT user_id, list_id,
+           count(*) AS n_runs, min(first_id) AS first_id
+    FROM seg GROUP BY user_id, list_id
+    HAVING count(*) >= 2
+    """,
+    doc="A10 lists-from-paragraphs re-run (ListProcessor re-applied at "
+        "paragraph granularity after the paragraph fold): the SAME "
+        "interval-detection operator applied one level coarser — first "
+        "fold rows into runs (A2/A16 granularity), then detect label "
+        "intervals over the RUNS. Demonstrates granularity "
+        "re-application: one operator, two levels.",
+)
+def a10_lists_from_paragraphs(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "event_type")
+    runs = sess.sessionize_on_change(ev, ["user_id"], "event_id", "event_type",
+                                     session_col="run_id")
+    runs = runs.groupBy("user_id", "run_id",
+                        F.col("event_type").alias("run_value")).agg(
+        F.min("event_id").alias("first_id"),
+    )
+    label = F.col("run_value").rlike("^(click|view)$")
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    labeled = runs.withColumn("is_label", label).withColumn(
+        "lboundary",
+        F.when(
+            F.col("is_label")
+            & F.coalesce(
+                ~F.lag("run_value").over(w2).rlike("^(click|view)$"),
+                F.lit(True),
+            ),
+            1,
+        ).otherwise(0),
+    )
+    seg = labeled.withColumn(
+        "list_id",
+        F.sum("lboundary").over(w2.rowsBetween(Window.unboundedPreceding, 0)),
+    ).filter(F.col("is_label"))
+    return (
+        seg.groupBy("user_id", "list_id")
+        .agg(F.count(F.lit(1)).alias("n_runs"), F.min("first_id").alias("first_id"))
+        .filter(F.col("n_runs") >= 2)
+    )

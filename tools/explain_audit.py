@@ -36,6 +36,13 @@ AUDITED = [
     "a16_distinct_runs",
     "a8_label_intervals",
     "f_filter_stack",
+    "a9_list_build",
+    "f5_bounds_filter",
+    "j1_bbox_containment",
+    "s2_tagged_scan",
+    "j6_lineart_assoc",
+    "ngram_jaccard_pairs",
+    "embedding_near_dup_lsh",
 ]
 
 
