@@ -92,3 +92,60 @@ def reduce_batch(events: DataFrame, salted: bool = False, n_salts: int = 16) -> 
     for the LSN-guarded MERGE. One shuffle total.
     """
     return last_writer_wins(events, salted=salted, n_salts=n_salts)
+
+
+def reduce_batch_broadcast(
+    events: DataFrame,
+    key: str = "doc_id",
+    order: str = "lsn",
+    n_keys: int | None = None,
+) -> DataFrame:
+    """Batch reduction that never shuffles payload columns at event
+    cardinality.
+
+    The one-shuffle ``reduce_batch`` ships its map-side partial winners —
+    rows WITH token arrays — through the exchange (each scan task
+    contributes up to one wide row per key it saw, so a key spread over k
+    tasks ships k payloads). This variant splits winner *selection* from
+    winner *payload*:
+
+    1. narrow winner agg: ``(key, max(order))`` — a shuffle of two small
+       columns at event cardinality, map-side combinable (hot keys
+       collapse per task, so the skew clause is satisfied without salt);
+    2. the winner set comes back over the scan as a broadcast of 64-bit
+       **fingerprints** ``xxhash64(key, max(order))`` — one LONG per key
+       (not the key strings themselves), so the collect is small and the
+       broadcast relation is a long-keyed hash map, the cheapest kind to
+       build; a left-semi join on the fingerprint filters the batch to
+       winning events with NO shuffle of the batch side;
+    3. one wide shuffle of the ~|keys| surviving rows runs the EXACT
+       last-writer-wins agg (max_by over (order, delivery_seq)) — a
+       fingerprint collision admits only sub-max rows for their key,
+       which lose here, so the result is exact; retransmission ties
+       break on the freshest delivery. The output stays hash-partitioned
+       on ``key``, which the downstream MERGE join reuses.
+
+    Net: the wide exchange shrinks from O(partial winners) to O(keys),
+    at the price of a second scan of the batch (cheap: the scan is
+    columnar and the filter is a semi join probe). The caller gates on
+    the winner-set size (engine ``broadcast_reduce_max_keys``, 8 bytes
+    per key broadcast) and falls back to ``reduce_batch`` above it — a
+    batch touching more keys than a broadcast should carry must shuffle,
+    same as any broadcast join.
+    """
+    payload = [c for c in events.columns if c != key]
+    tie = F.col("delivery_seq") if "delivery_seq" in events.columns else F.lit(0)
+    pick = F.max_by(F.struct(*payload), F.struct(F.col(order), tie))
+
+    sel = (
+        events.groupBy(key)
+        .agg(F.max(order).alias("_maxo"))
+        .select(F.xxhash64(F.col(key), F.col("_maxo")).alias("_wh"))
+    )
+    filt = events.join(
+        F.broadcast(sel),
+        F.xxhash64(F.col(key), F.col(order)) == F.col("_wh"),
+        "left_semi",
+    )
+    out = filt.groupBy(key).agg(pick.alias("_w"))
+    return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])

@@ -342,10 +342,19 @@ class ParquetMergeSink:
         #     falls back past ~256 buckets where the expression count and
         #     single-row agg buffer get unwieldy.
         #   audit_rows   — caller precomputed them.
-        #   neither      — cache the join, write, then a grouped stats pass.
+        #   neither      — persist the per-row merge flags INTO the
+        #     snapshot (5 narrow columns) and aggregate them from the
+        #     just-written files: no cache of the wide token-array join
+        #     (measured slower than recompute on this box) and the stats
+        #     scan is column-pruned to the flags. Every change row is
+        #     represented in the output — winners as themselves, stale
+        #     changes on the surviving base row they lost to — so the
+        #     written files carry the full audit.
         use_observe = observe_stats and audit_rows is None and len(affected) <= 256
-        if audit_rows is None and not use_observe:
-            merged = merged.cache()
+        flag_cols = (
+            [] if (audit_rows is not None or use_observe)
+            else ["_wins", "_was", "_chg", "_del", "_clsn"]
+        )
         out = merged.filter(F.col("_was") | F.col("_wins"))
 
         obs = None
@@ -370,7 +379,7 @@ class ParquetMergeSink:
         snap_rel = f"snap-{sid}"
         snap_dir = os.path.join(self.data_dir, snap_rel)
         (
-            out.select(*table_cols, "_deleted", "bucket")
+            out.select(*table_cols, "_deleted", *flag_cols, "bucket")
             .repartition(len(affected), "bucket")
             # bucket first: hash collisions put >1 bucket in a task, and the
             # dynamic-partition writer degrades badly when rows interleave
@@ -394,10 +403,18 @@ class ParquetMergeSink:
                 for bk in affected
             ]
         elif audit_rows is None:
-            # ---- lineage / metrics (per affected bucket) — one agg pass
-            # over the cached join
-            stats = (
-                merged.groupBy("bucket")
+            # ---- lineage / metrics (per affected bucket) — one
+            # column-pruned agg over the files the write just produced
+            # (footers + flag columns are page-cache-warm). An all-parked
+            # patch batch can write an EMPTY snapshot (no files, nothing
+            # to infer a schema from) — zero rows means zero stats.
+            import glob as _glob
+
+            has_files = bool(
+                _glob.glob(os.path.join(snap_dir, "bucket=*", "*.parquet"))
+            )
+            stats = [] if not has_files else (
+                self.spark.read.parquet(snap_dir).groupBy("bucket")
                 .agg(
                     F.sum(F.when(F.col("_wins") & ~F.col("_del") & F.col("_was"), 1).otherwise(0)).alias("updated"),
                     F.sum(F.when(F.col("_wins") & ~F.col("_del") & ~F.col("_was"), 1).otherwise(0)).alias("inserted"),
@@ -425,8 +442,6 @@ class ParquetMergeSink:
             ]
         self._write_audit(batch_id, audit)
         _mark("audit-write")
-        if audit_rows is None and not use_observe:
-            merged.unpersist()
         return self._commit_snapshot(m, batch_id, sid, snap_rel, snap_dir,
                                      affected, audit)
 
@@ -563,6 +578,35 @@ class ParquetMergeSink:
             {**row, "batch_id": batch_id, "snapshot_id": sid}
             for row in audit_rows
         ]
+
+        # per-bucket write elision: a bucket whose changes are ALL stale
+        # (no winner, no insert, no tombstone) would be rewritten
+        # byte-identical — keep its existing files and only record the
+        # audit (Iceberg-style metadata-only commit when NO bucket won).
+        # At 100 TB this is the copy-on-write amplification guard: late
+        # retransmission floods touch zero data files.
+        winner_buckets = sorted(
+            a["bucket"] for a in audit_rows
+            if (a["updated"] or 0) + (a["inserted"] or 0) + (a["deleted"] or 0) > 0
+        )
+        if not winner_buckets:
+            if cached is not None:
+                cached.unpersist()
+            self._write_audit(batch_id, audit)
+            m["snapshot_id"] = sid
+            m["batch_id"] = batch_id
+            m["commits"].append({"batch_id": batch_id, "snapshot_id": sid,
+                                 "buckets": [], "wall_ts": time.time()})
+            self._commit(m)
+            _mark("delta-skip-commit")
+            return {
+                "batch_id": batch_id, "applied": 0, "inserted": 0,
+                "deleted": 0,
+                "stale": sum(a["stale"] or 0 for a in audit),
+                "buckets": [],
+            }
+        affected = winner_buckets
+        has_base = any(str(b) in m["buckets"] for b in affected)
 
         c = self._align(ch.drop("delivery_seq"), schema)
         cw = c.join(d.select(self.key, "_blsn"), self.key, "left").filter(
