@@ -54,8 +54,12 @@ REPLAY_SIZE = {"0.001": (20_000, 2_000, 5_000),
 
 
 def run_replay(spark, n_events: int, n_docs: int, workdir: str,
-               batch_size: int | None = None) -> dict:
-    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+               batch_size: int | None = None, mor: bool = False) -> dict:
+    from opendataloader_pdf_spark.cdc import (
+        MergeOnReadSink,
+        ParquetMergeSink,
+        ReplayEngine,
+    )
     from opendataloader_pdf_spark.datagen import gen_change_events
 
     events_path = os.path.join(workdir, f"events_{n_events}")
@@ -65,8 +69,9 @@ def run_replay(spark, n_events: int, n_docs: int, workdir: str,
         ).parquet(events_path)
     ev = spark.read.parquet(events_path)
 
-    table = os.path.join(workdir, "table")
-    sink = ParquetMergeSink(spark, table, n_buckets=64)
+    table = os.path.join(workdir, "table_mor" if mor else "table")
+    cls = MergeOnReadSink if mor else ParquetMergeSink
+    sink = cls(spark, table, n_buckets=64)
     sink.drop()
     eng = ReplayEngine(spark, sink)
     eng.bootstrap(None)
@@ -128,6 +133,10 @@ def main() -> None:
     # measured run reports steady-state throughput, not JVM JIT latency
     run_replay(spark, 20_000, 2_000, workdir, batch_size=5_000)
     replay = run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
+    # merge-on-read ingest mode: same reduce, append-only delta commits,
+    # LWW resolved at read (final_rows pays the resolve — kept honest)
+    replay_mor = run_replay(spark, n_events, n_docs, workdir,
+                            batch_size=batch_size, mor=True)
 
     total = round(time.time() - total0, 3)
     print(json.dumps({
@@ -137,6 +146,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": float(sf),
         "replay": replay,
+        "replay_mor": replay_mor,
         "cpus": int(cpus),
     }))
     spark.stop()

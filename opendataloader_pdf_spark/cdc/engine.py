@@ -277,8 +277,7 @@ class ReplayEngine:
                     if pending_n:
                         # pending docs' buckets must join the merge scope
                         pb = {r["b"] for r in pending_prev.select(
-                            F.pmod(F.xxhash64(self.sink.key),
-                                   F.lit(self.sink.n_buckets)).cast("int").alias("b")
+                            self.sink.bucket_of(self.sink.key).alias("b")
                         ).distinct().collect()}
                         affected = sorted(set(affected) | pb)
                     red, pending_next = resolve_patches(
@@ -413,8 +412,7 @@ class ReplayEngine:
                 events.filter(F.col("delivery_seq") >= start * batch_size)
                 .groupBy(
                     bid.alias("_bid"),
-                    F.pmod(F.xxhash64(F.col(key)),
-                           F.lit(self.sink.n_buckets)).cast("int").alias("bucket"),
+                    self.sink.bucket_of(key).alias("bucket"),
                 )
                 .agg(
                     F.count(F.lit(1)).alias("n"),
@@ -444,8 +442,16 @@ class ReplayEngine:
                 F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("_p"),
             )
         )
+        # raw (version-unresolved) state suffices here: the window below
+        # takes a running MAX over prior rows, which folds versions for
+        # free — so a merge-on-read sink skips its resolve shuffle
+        base_read = (
+            self.sink.read_raw()
+            if hasattr(self.sink, "read_raw")
+            else self.sink.read(include_deleted=True)
+        )
         base_n = (
-            self.sink.read(include_deleted=True)
+            base_read
             .select(
                 F.col(key),
                 F.col(order).alias("_clsn"),
@@ -466,7 +472,7 @@ class ReplayEngine:
         wins = F.col("_prev").isNull() | (F.col("_clsn") > F.col("_prev"))
         was = F.col("_prev").isNotNull()
         dele = F.col("_cop") == "delete"
-        bucket = F.pmod(F.xxhash64(F.col(key)), F.lit(self.sink.n_buckets)).cast("int")
+        bucket = self.sink.bucket_of(key)
         return (
             u.groupBy(F.col("_bid"), bucket.alias("bucket"))
             .agg(
@@ -503,8 +509,7 @@ class ReplayEngine:
         red = merge_pending(red, pending_prev)
         affected = sorted(
             r["b"] for r in pending_prev.select(
-                F.pmod(F.xxhash64(self.sink.key),
-                       F.lit(self.sink.n_buckets)).cast("int").alias("b")
+                self.sink.bucket_of(self.sink.key).alias("b")
             ).distinct().collect()
         )
         red, pending_next = resolve_patches(

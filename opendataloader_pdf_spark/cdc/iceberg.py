@@ -50,16 +50,16 @@ class IcebergSink:
 
     # ---------------------------------------------------------------- state
 
+    def bucket_of(self, col) -> "F.Column":
+        """Engine-side bucket id (probe/audit bookkeeping only — Iceberg
+        plans its own MERGE and partitions by its own bucket transform).
+        Matches ParquetMergeSink.bucket_of so probe-derived bucket lists
+        mean the same thing across sinks."""
+        return F.pmod(F.hash(F.col(col) if isinstance(col, str) else col),
+                      F.lit(self.n_buckets)).cast("int")
+
     def _bucketed(self, df: DataFrame) -> DataFrame:
-        """Same bucket expression as ParquetMergeSink._bucketed — the
-        engine calls this on every reduced batch; Iceberg's own
-        ``bucket(N, key)`` partition transform uses a different hash, but
-        the engine-side bucket column is only for probe/audit bookkeeping
-        (merge drops it), so the xxhash64 form is kept for parity."""
-        return df.withColumn(
-            "bucket",
-            F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int"),
-        )
+        return df.withColumn("bucket", self.bucket_of(self.key))
 
     def table_rows(self, buckets=None) -> int | None:
         """Row-count hint for the engine's merge-strategy choice; Iceberg
@@ -163,7 +163,7 @@ class IcebergSink:
         sid = self.snapshot_id()
         # audit: per-bucket applied counts from the committed state delta
         stats = self.spark.sql(f"""
-            SELECT CAST(pmod(xxhash64({self.key}), {self.n_buckets}) AS int)
+            SELECT CAST(pmod(hash({self.key}), {self.n_buckets}) AS int)
                      AS bucket,
                    count(*) AS applied,
                    min({self.order}) AS min_lsn, max({self.order}) AS max_lsn

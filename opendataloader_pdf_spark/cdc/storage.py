@@ -13,7 +13,7 @@ exercises:
 * **idempotent commits** — the manifest records ``batch_id``; re-applying
   a committed batch is a no-op (exactly-once under retries).
 * **bucket pruning** — the table is hash-bucketed on the merge key
-  (``bucket = pmod(xxhash64(doc_id), n_buckets)``); a MERGE rewrites only
+  (``bucket = pmod(hash(doc_id), n_buckets)``); a MERGE rewrites only
   the buckets containing changed keys. At 100 TB with 4096 buckets, a
   batch touching 1% of keys rewrites ~1% of files (the copy-on-write
   analog of Iceberg partition-level overwrite).
@@ -105,10 +105,21 @@ class ParquetMergeSink:
 
     # ----------------------------------------------------------------- init
 
+    def bucket_of(self, col) -> "F.Column":
+        """Bucket id of a key column. Deliberately Spark's OWN shuffle
+        assignment — ``pmod(hash(key), n)`` with hash = Murmur3(seed 42),
+        exactly ``hashpartitioning(key, n)`` — so any frame that just
+        shuffled on the key (the reduce agg, the MERGE join) is already
+        physically bucket-aligned and the snapshot write needs NO further
+        repartition: one shuffle covers reduce + merge + bucketed write.
+        (When spark.sql.shuffle.partitions P != n_buckets, a task holds
+        the buckets ≡ pid (mod gcd) — still sorted, still a bounded file
+        count per task.)"""
+        return F.pmod(F.hash(F.col(col) if isinstance(col, str) else col),
+                      F.lit(self.n_buckets)).cast("int")
+
     def _bucketed(self, df: DataFrame) -> DataFrame:
-        return df.withColumn(
-            "bucket", F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast("int")
-        )
+        return df.withColumn("bucket", self.bucket_of(self.key))
 
     def initialize(self, base: DataFrame | None, schema: T.StructType) -> None:
         """Bootstrap snapshot 0 (empty table if base is None)."""
@@ -380,10 +391,13 @@ class ParquetMergeSink:
         snap_dir = os.path.join(self.data_dir, snap_rel)
         (
             out.select(*table_cols, "_deleted", *flag_cols, "bucket")
-            .repartition(len(affected), "bucket")
-            # bucket first: hash collisions put >1 bucket in a task, and the
-            # dynamic-partition writer degrades badly when rows interleave
-            # across partition dirs — cluster by bucket, then key.
+            # NO repartition: bucket_of == Spark's hashpartitioning
+            # assignment, so the join's key shuffle already bucket-aligns
+            # every row (shuffle.partitions == n_buckets → exactly one
+            # bucket per task; otherwise the buckets ≡ pid mod gcd). The
+            # sort clusters rows per dir so the dynamic-partition writer
+            # never interleaves — one wide shuffle total for
+            # reduce + MERGE join + bucketed write.
             .sortWithinPartitions("bucket", self.key)
             .write.partitionBy("bucket")
             .mode("overwrite")
@@ -616,9 +630,7 @@ class ParquetMergeSink:
             *table_cols,
             (F.col("op") == "delete").alias("_deleted"),
             "bucket",
-        ).repartition(len(affected), "bucket").sortWithinPartitions(
-            "bucket", self.key
-        )
+        ).sortWithinPartitions("bucket", self.key)  # already key-shuffled → bucket-aligned
         if has_base:
             win_keys = d.filter(wins).select(self.key)
             base = self.read(buckets=affected, with_bucket=True,

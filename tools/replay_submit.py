@@ -40,6 +40,16 @@ def main() -> None:
     p.add_argument("--buckets", type=int, default=64)
     p.add_argument("--salted", action="store_true",
                    help="explicit two-phase skew-splitting LWW reduction")
+    p.add_argument("--mor", action="store_true",
+                   help="merge-on-read sink: append-only delta commits, "
+                        "LWW resolved at read; run --compact periodically")
+    p.add_argument("--compact", action="store_true",
+                   help="with --mor: fold over-pressure buckets after the "
+                        "replay (compact_ratio=4)")
+    p.add_argument("--reduce-strategy", default="agg",
+                   choices=["agg", "broadcast"],
+                   help="batch reduction: one-shuffle agg (default) or "
+                        "winner-fingerprint broadcast semi-join")
     p.add_argument("--bootstrap", default=None,
                    help="optional parquet path of the initial base table")
     p.add_argument("--gen-events", type=int, default=None,
@@ -59,7 +69,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("WARN")
 
-    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.cdc import (
+        MergeOnReadSink,
+        ParquetMergeSink,
+        ReplayEngine,
+    )
 
     if a.gen_events and not os.path.exists(a.events):
         from opendataloader_pdf_spark.datagen import gen_change_events
@@ -69,12 +83,17 @@ def main() -> None:
         ).parquet(a.events)
 
     events = spark.read.parquet(a.events)
-    sink = ParquetMergeSink(spark, a.table, n_buckets=a.buckets)
-    engine = ReplayEngine(spark, sink, salted=a.salted)
+    cls = MergeOnReadSink if a.mor else ParquetMergeSink
+    sink = cls(spark, a.table, n_buckets=a.buckets)
+    engine = ReplayEngine(spark, sink, salted=a.salted,
+                          reduce_strategy=a.reduce_strategy)
     base = spark.read.parquet(a.bootstrap) if a.bootstrap else None
     engine.bootstrap(base)
 
     summary = engine.replay(events, batch_size=a.batch_size)
+    if a.mor and a.compact:
+        compacted = sink.compact()
+        print(json.dumps({"compacted_buckets": compacted}))
     print(json.dumps({
         "events": summary.events,
         "applied": summary.applied,
