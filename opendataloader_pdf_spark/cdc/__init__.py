@@ -15,3 +15,10 @@ from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink  # noqa: F401
 from opendataloader_pdf_spark.cdc.mor import MergeOnReadSink  # noqa: F401
 from opendataloader_pdf_spark.cdc.engine import ReplayEngine  # noqa: F401
 from opendataloader_pdf_spark.cdc.iceberg import IcebergSink  # noqa: F401
+from opendataloader_pdf_spark.cdc.maintenance import (  # noqa: F401
+    expire_snapshots,
+    orphan_files,
+    read_at,
+    remove_orphans,
+    retained_snapshots,
+)

@@ -1,0 +1,163 @@
+"""Table maintenance: snapshot time travel, snapshot expiry, orphan-file
+cleanup — the Iceberg-parity lifecycle operations around the sink's
+manifest log.
+
+Every commit already writes an immutable ``_meta/manifest-{sid}.json``
+and swaps ``HEAD`` atomically; data files are immutable once committed.
+That gives time travel for free (read any retained manifest) and makes
+expiry a pure metadata decision: a data file is live iff some RETAINED
+manifest references it.
+
+Reference parity: the reference regenerates its golden output dir and
+diffs against the previous run (IntegrationTest.java:42-52) — the
+"previous run" role is played here by a retained snapshot; expiry is the
+reference's overwrite step made explicit and safe.
+
+Scale notes: all three operations are manifest-driven — file sets come
+from JSON on the driver, never from listing data at scale; the only
+Spark job is the optional time-travel read itself. Deletion cost is
+O(expired files), and concurrent READERS of an expired snapshot are the
+same hazard Iceberg documents: expire only past every reader's horizon.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+
+from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
+
+
+def _manifest_at(sink: ParquetMergeSink, snapshot_id: int) -> dict:
+    path = os.path.join(sink.meta_dir, f"manifest-{snapshot_id}.json")
+    if not os.path.exists(path):
+        raise ValueError(
+            f"snapshot {snapshot_id} is not retained (expired or never "
+            f"committed); retained: {sorted(retained_snapshots(sink))}"
+        )
+    with open(path) as f:
+        return json.load(f)
+
+
+def retained_snapshots(sink: ParquetMergeSink) -> list[int]:
+    """Snapshot ids whose manifests are still on disk (time-travelable)."""
+    out = []
+    for name in os.listdir(sink.meta_dir):
+        if name.startswith("manifest-") and name.endswith(".json"):
+            out.append(int(name[len("manifest-"):-len(".json")]))
+    return sorted(out)
+
+
+def read_at(sink: ParquetMergeSink, snapshot_id: int,
+            include_deleted: bool = False) -> DataFrame:
+    """Time-travel read: the table as of ``snapshot_id``.
+
+    Implemented by swapping the manifest the sink's own ``read`` uses —
+    a snapshot-pinned shallow view of the same sink object, so bucket
+    pruning, schema alignment, and (for a merge-on-read sink) delta
+    resolution all behave exactly as a HEAD read of that era did."""
+    m = _manifest_at(sink, snapshot_id)
+
+    class _Pinned(type(sink)):  # shallow view; shares spark/root/config
+        def manifest(self) -> dict:  # noqa: D102
+            return m
+
+    pinned = object.__new__(_Pinned)
+    pinned.__dict__.update(sink.__dict__)
+    return pinned.read(include_deleted=include_deleted)
+
+
+def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
+                     dry_run: bool = False) -> dict:
+    """Drop all but the newest ``keep_last`` manifests and delete every
+    data file no retained manifest references.
+
+    Returns {"expired": [...sids], "deleted_files": n, "freed_bytes": n}.
+    The HEAD manifest is always retained. Crash-safe: manifests are
+    removed only AFTER the files they exclusively referenced are gone —
+    a crash mid-way leaves extra (still-referenced or orphan) files,
+    never a retained manifest with missing files."""
+    all_sids = retained_snapshots(sink)
+    head_sid = sink.snapshot_id()
+    keep = set(all_sids[-keep_last:]) | {head_sid}
+    expired = [s for s in all_sids if s not in keep]
+    if not expired:
+        return {"expired": [], "deleted_files": 0, "freed_bytes": 0}
+
+    def live_paths(sids) -> set[str]:
+        out: set[str] = set()
+        for sid in sids:
+            man = _manifest_at(sink, sid)
+            for ent in man["buckets"].values():
+                if ent.get("path"):
+                    out.add(ent["path"])
+                for d in ent.get("deltas", []):
+                    out.add(d["path"])
+        return out
+
+    live = live_paths(sorted(keep))
+    dead = live_paths(expired) - live
+    deleted = 0
+    freed = 0
+    for rel in sorted(dead):
+        full = os.path.join(sink.data_dir, rel)
+        if not os.path.isdir(full):
+            continue
+        for f in os.listdir(full):
+            fp = os.path.join(full, f)
+            freed += os.path.getsize(fp)
+            deleted += 1
+            if not dry_run:
+                os.remove(fp)
+        if not dry_run:
+            os.rmdir(full)
+    if not dry_run:
+        for sid in expired:
+            os.remove(os.path.join(sink.meta_dir, f"manifest-{sid}.json"))
+        # snapshot dirs whose every bucket dir is gone
+        for name in os.listdir(sink.data_dir):
+            full = os.path.join(sink.data_dir, name)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+    return {"expired": expired, "deleted_files": deleted,
+            "freed_bytes": freed}
+
+
+def orphan_files(sink: ParquetMergeSink) -> list[str]:
+    """Data files on disk referenced by NO retained manifest — crash
+    leftovers (a write that died before its commit). Safe to delete once
+    no in-flight commit could still be writing them."""
+    live: set[str] = set()
+    for sid in retained_snapshots(sink):
+        man = _manifest_at(sink, sid)
+        for ent in man["buckets"].values():
+            if ent.get("path"):
+                live.add(ent["path"])
+            for d in ent.get("deltas", []):
+                live.add(d["path"])
+    out: list[str] = []
+    for snap in sorted(os.listdir(sink.data_dir)):
+        snap_full = os.path.join(sink.data_dir, snap)
+        if not os.path.isdir(snap_full):
+            continue
+        for bucket in sorted(os.listdir(snap_full)):
+            if not os.path.isdir(os.path.join(snap_full, bucket)):
+                continue  # _SUCCESS / .crc markers, not bucket dirs
+            rel = f"{snap}/{bucket}"
+            if rel not in live:
+                out.append(rel)
+    return out
+
+
+def remove_orphans(sink: ParquetMergeSink) -> int:
+    """Delete orphan data dirs; returns the number of files removed."""
+    n = 0
+    for rel in orphan_files(sink):
+        full = os.path.join(sink.data_dir, rel)
+        for f in os.listdir(full):
+            os.remove(os.path.join(full, f))
+            n += 1
+        os.rmdir(full)
+    return n
