@@ -88,10 +88,21 @@ def ngram_jaccard_pairs(
     feeds both self-join sides AND the size agg (without it the
     regex/split/shingle lineage recomputes per consumer, ~4× scan cost);
     the cache lives until the session drops it — long-lived sessions
-    issuing many calls should spark.catalog.clearCache() between them."""
+    issuing many calls should spark.catalog.clearCache() between them.
+
+    Shingles travel as 8-byte xxhash64 longs, not strings: every
+    downstream shuffle (df agg, self-join) carries the hash only, ~3×
+    narrower than the raw trigram text. Set identity is preserved —
+    ``text_shingles`` already dedups per doc (array_distinct), so the
+    exploded (id, hash) pairs are unique without a distinct() shuffle,
+    and a 64-bit collision across a corpus' distinct shingles is
+    negligible (birthday bound ~D²/2⁶⁵)."""
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(text_shingles(F.col(text_col), n)).alias("sh")
-    ).distinct().cache()
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(text_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    ).cache()
     if max_df is not None:
         # df per shingle is a map-side-combinable agg over the CACHED
         # frame (one materialization feeds the df-agg, the size agg, and
