@@ -43,6 +43,9 @@ AUDITED = [
     "j6_lineart_assoc",
     "ngram_jaccard_pairs",
     "embedding_near_dup_lsh",
+    "a10_lists_from_paragraphs",
+    "minhash_lsh_dedup",
+    "o2_xy_cut_order",
 ]
 
 
@@ -105,6 +108,12 @@ def main() -> None:
     out.write("- Arrow-Python stages appear only where SURVEY.md §2 calls "
               "for vectorized UDFs (token ops); relational operators stay "
               "JVM-side.\n")
+    out.write("- `ngram_jaccard_pairs` / `minhash_lsh_dedup` cache their "
+              "shingle/signature frame (it feeds 3-4 consumers); this "
+              "STATIC explain inlines the cached lineage into every "
+              "consumer, so their scan/exchange counts here are the "
+              "pre-cache worst case — at runtime the InMemoryRelation "
+              "collapses them to one scan.\n")
     out.write("- codegen ids are assigned at execution time under AQE, so "
               "adaptive plans report 0 here; non-adaptive plans (e.g. "
               "token_pipeline) show their spans. Shuffle/broadcast columns "
