@@ -294,6 +294,38 @@ def a1_sessionize_gap(spark, sf_dir):
     )
 
 
+@register(
+    "w1_windowed_activity",
+    """
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 hour', ts))) AS BIGINT) AS win_start,
+           event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users,
+           CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Event-time tumbling-window activity aggregate — the batch twin "
+        "of streaming/windows.py's watermarked windowed_activity (same "
+        "window operator; streaming adds the watermark + append-mode "
+        "finality, pinned by test_streaming_windows.py).",
+)
+def w1_windowed_activity(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"),
+            "event_type", "n_events", "n_users", "value_sum",
+        )
+    )
+
+
 # =====================================================================
 # Frequency / mode / levels (A3, A5)
 # =====================================================================
