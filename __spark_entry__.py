@@ -22,9 +22,10 @@ from opendataloader_pdf_spark.queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the CDC engine's LWW core (F2 dedup generalization) over
-    the sf0.001 events stream — one winning row per key by max sequence."""
-    return QUERIES["f2_dedup_lww"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship: P0 full-assembly pipeline — the reference's end-to-end
+    Processor chain (filter → LWW dedup → run segmentation → heading
+    classify → ordered markdown render) fused into one Catalyst plan."""
+    return QUERIES["p0_full_assembly"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -36,6 +36,7 @@ BENCH_QUERIES = [
     "minhash_lsh_dedup",
     "cosine_topk",
     "o2_xy_cut_order",
+    "p0_full_assembly",
 ]
 
 # replay sizing per sf of the driver testdata we're pointed at; sized so

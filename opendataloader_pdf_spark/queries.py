@@ -1835,3 +1835,159 @@ def a10_lists_from_paragraphs(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_runs"), F.min("first_id").alias("first_id"))
         .filter(F.col("n_runs") >= 2)
     )
+
+
+# =====================================================================
+# P0: full-assembly pipeline — the reference's end-to-end Processor
+# chain as ONE composed query
+# =====================================================================
+
+@register(
+    "p0_full_assembly",
+    """
+    WITH dedup AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id, event_id
+                                  ORDER BY ts DESC, value DESC) AS rn
+        FROM events
+        WHERE event_type IS NOT NULL AND event_type <> 'error'
+          AND value BETWEEN 0.0 AND 300.0
+      ) WHERE rn = 1
+    ), flagged AS (
+      SELECT user_id, event_id, event_type, value,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS boundary
+      FROM dedup WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+    ), seg AS (
+      SELECT user_id, event_id, event_type, value,
+             sum(boundary) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS UNBOUNDED PRECEDING)::BIGINT AS run_id
+      FROM flagged
+    ), runs AS (
+      SELECT user_id, run_id, event_type AS run_type, count(*) AS n,
+             min(event_id) AS first_id, max(value) AS max_value
+      FROM seg GROUP BY user_id, run_id, event_type
+    ), freq AS (
+      SELECT run_type, count(*) AS cnt FROM runs GROUP BY run_type
+    ), avg_cnt AS (
+      SELECT avg(cnt) AS ac FROM freq
+    ), scored AS (
+      SELECT r.user_id, r.run_type, r.n,
+             coalesce(r.max_value > lag(r.max_value) OVER wr, true) AS peak_prev,
+             coalesce(r.max_value > lead(r.max_value) OVER wr, true) AS peak_next,
+             CASE WHEN f.cnt < (SELECT ac FROM avg_cnt)
+                  THEN 0.1 ELSE 0.0 END AS rarity,
+             row_number() OVER wr AS rk
+      FROM runs r JOIN freq f USING (run_type)
+      WINDOW wr AS (PARTITION BY r.user_id ORDER BY r.first_id)
+    )
+    SELECT user_id, rk,
+           CASE WHEN (CASE WHEN peak_prev THEN 0.5 ELSE 0.0 END
+                    + CASE WHEN peak_next THEN 0.35 ELSE 0.0 END
+                    + rarity) > 0.75
+                THEN '# ' || run_type || ' (' || n || ')'
+                ELSE '- ' || run_type || ' x' || n END AS md,
+           (CASE WHEN peak_prev THEN 0.5 ELSE 0.0 END
+          + CASE WHEN peak_next THEN 0.35 ELSE 0.0 END
+          + rarity) > 0.75 AS is_heading
+    FROM scored
+    """,
+    doc="P0 full-assembly pipeline: the reference's end-to-end Processor "
+        "chain (Processor.java run(): filter -> dedup -> lines -> "
+        "paragraphs -> headings -> order -> render) composed as ONE "
+        "declarative plan. Stages: F-family filter stack; F2 LWW dedup "
+        "done INSIDE the user_id partition via the ordered-lag trick "
+        "(no extra (user_id,event_id) shuffle — the binlog "
+        "within-partition LWW shape); A1/A2 run segmentation; A3 global "
+        "rarity dim broadcast back; A4 peak+rarity heading classify over "
+        "run entities; O1 reading-order rank; K2 markdown render. Three "
+        "shuffles total, all keyed on user_id; the rarity dim is a "
+        "broadcast. Catalyst fuses the whole chain into one plan — the "
+        "composition the reference executes as seven sequential "
+        "materialized passes.",
+)
+def p0_full_assembly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", "value", "ts"
+    )
+    # F-family filter stack: null compaction, decoration drop, bounds
+    ev = ev.filter(
+        F.col("event_type").isNotNull()
+        & (F.col("event_type") != "error")
+        & F.col("value").between(0.0, 300.0)
+    )
+    # F2 LWW dedup within the user_id partition: sort (event_id, ts desc,
+    # value desc) once, keep the first row of each event_id run. Same
+    # result as a (user_id, event_id) row_number window but rides the
+    # partitioning every later stage needs anyway.
+    w_ord = Window.partitionBy("user_id").orderBy(
+        "event_id", F.col("ts").desc(), F.col("value").desc()
+    )
+    ev = (
+        ev.withColumn("_dup", F.lag("event_id").over(w_ord) == F.col("event_id"))
+        .filter(~F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup", "ts")
+    )
+    # A1/A2: boundary flags -> run ids -> run entities
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    flagged = ev.withColumn(
+        "boundary",
+        F.when(F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0)
+        .otherwise(1),
+    )
+    seg = flagged.withColumn(
+        "run_id",
+        F.sum("boundary").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = seg.groupBy(
+        "user_id", "run_id", F.col("event_type").alias("run_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("event_id").alias("first_id"),
+        F.max("value").alias("max_value"),
+    )
+    # Materialize run entities ONCE: they feed the main chain AND the two
+    # tiny rarity aggregates; without this Spark recomputes the
+    # scan+window+agg subtree three times (verified via explain). The
+    # reference materializes between processor stages for the same
+    # reason; at 100 TB this would be a checkpoint to the lake instead.
+    runs = runs.cache()
+    # A3: global run-type rarity dim (tiny — broadcast back)
+    freq = runs.groupBy("run_type").agg(F.count(F.lit(1)).alias("cnt"))
+    avg_cnt = freq.agg(F.avg("cnt").alias("ac"))
+    rar = freq.crossJoin(F.broadcast(avg_cnt)).select(
+        "run_type",
+        F.when(F.col("cnt") < F.col("ac"), 0.1).otherwise(0.0).alias("rarity"),
+    )
+    # A4 heading classify over runs + O1 reading-order rank
+    wr = Window.partitionBy("user_id").orderBy("first_id")
+    scored = (
+        runs.join(F.broadcast(rar), "run_type")
+        .withColumn(
+            "peak_prev",
+            F.coalesce(F.col("max_value") > F.lag("max_value").over(wr), F.lit(True)),
+        )
+        .withColumn(
+            "peak_next",
+            F.coalesce(F.col("max_value") > F.lead("max_value").over(wr), F.lit(True)),
+        )
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    score = (
+        F.when(F.col("peak_prev"), 0.5).otherwise(0.0)
+        + F.when(F.col("peak_next"), 0.35).otherwise(0.0)
+        + F.col("rarity")
+    )
+    # K2: markdown render of the ordered run stream
+    md = F.when(
+        score > 0.75,
+        F.concat(F.lit("# "), F.col("run_type"), F.lit(" ("),
+                 F.col("n").cast("string"), F.lit(")")),
+    ).otherwise(
+        F.concat(F.lit("- "), F.col("run_type"), F.lit(" x"),
+                 F.col("n").cast("string"))
+    )
+    return scored.select(
+        "user_id", "rk", md.alias("md"), (score > 0.75).alias("is_heading")
+    )
