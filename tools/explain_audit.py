@@ -46,6 +46,8 @@ AUDITED = [
     "a10_lists_from_paragraphs",
     "minhash_lsh_dedup",
     "o2_xy_cut_order",
+    "w1_windowed_activity",
+    "p0_full_assembly",
 ]
 
 
@@ -113,7 +115,9 @@ def main() -> None:
               "STATIC explain inlines the cached lineage into every "
               "consumer, so their scan/exchange counts here are the "
               "pre-cache worst case — at runtime the InMemoryRelation "
-              "collapses them to one scan.\n")
+              "collapses them to one scan. Same for `p0_full_assembly`'s "
+              "run-entity cache (verified: executed plan shows 1 parquet "
+              "scan + 3 InMemoryTableScans).\n")
     out.write("- codegen ids are assigned at execution time under AQE, so "
               "adaptive plans report 0 here; non-adaptive plans (e.g. "
               "token_pipeline) show their spans. Shuffle/broadcast columns "
