@@ -5,7 +5,11 @@ read/read_audit/drop`), implemented on a real Iceberg catalog with
 `MERGE INTO`, so `ReplayEngine` runs unchanged on a cluster where
 `iceberg-spark-runtime` is on the classpath (see session.get_spark,
 which wires catalog `lake` when the jar is detected). The sandbox has no
-Iceberg jar, so this class is exercised there only through its
+Iceberg jar and provisioning one was attempted and is blocked by the
+environment: no iceberg/delta/hudi jar ships in the pyspark wheel's
+jars/ dir, and both repo1.maven.org and pypi.org are unreachable (DNS
+resolution fails; curl exit 6 — verified 2026-08-17). This class is
+therefore exercised here only through its
 plan-construction unit test (skipped without the jar); the
 ParquetMergeSink carries the correctness suite with identical commit
 semantics (snapshot isolation, idempotent batch ids, additive evolution
