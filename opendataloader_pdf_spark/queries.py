@@ -1991,3 +1991,85 @@ def p0_full_assembly(spark, sf_dir):
     return scored.select(
         "user_id", "rk", md.alias("md"), (score > 0.75).alias("is_heading")
     )
+
+
+# =====================================================================
+# T-family: sequence packing (pretraining context-window construction)
+# =====================================================================
+
+@register(
+    "t1_sequence_pack",
+    """
+    WITH d AS (
+      SELECT source, doc_id,
+             length(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tok
+      FROM documents WHERE length(trim(text)) > 0
+    ), c AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS st
+      FROM d
+    )
+    SELECT source, floor(st / 512)::BIGINT AS pack_id,
+           count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM c GROUP BY source, floor(st / 512)::BIGINT
+    """,
+    doc="T1 sequence packing, contiguous-bin strategy: lay tokenized "
+        "documents end-to-end per source shard and window them into "
+        "512-token context frames (the packed-pretraining-dataset "
+        "layout; reference analog: fixed page-frame layout, SURVEY.md "
+        "§3.1). One window cumsum per shard, all JVM-side — the packing "
+        "of a 100 TB corpus is one shuffle keyed on the shard column.",
+)
+def t1_sequence_pack(spark, sf_dir):
+    from opendataloader_pdf_spark.operators.packing import (
+        pack_offset,
+        whitespace_token_count,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source", "doc_id",
+            whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+    )
+    packed = pack_offset(d, ["source"], "doc_id", "n_tok", budget=512)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "t2_pack_greedy", None,
+    doc="T2 exact first-fit-sequential packing (no document straddles a "
+        "window): grouped applyInPandas whose per-group scan finds pack "
+        "boundaries with one np.searchsorted per OUTPUT window — "
+        "O(#packs) loop iterations, not O(rows). Budget-respect and "
+        "maximality are pytest-pinned (test_packing.py); not ANSI-SQL "
+        "(reset-on-overflow prefix scan needs per-group recursion).",
+)
+def t2_pack_greedy(spark, sf_dir):
+    from opendataloader_pdf_spark.operators.packing import (
+        pack_greedy,
+        whitespace_token_count,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length(F.trim("text")) > 0)
+        .select(
+            "source", "doc_id",
+            whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+        )
+    )
+    packed = pack_greedy(d, ["source"], "doc_id", "n_tok", budget=512)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
