@@ -466,3 +466,79 @@ def lsh_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+# ------------------------------------------------------------- IVF ANN
+
+def ivf_centroids(
+    vecs: DataFrame, id_col: str, vec_col: str, n_cells: int = 16
+) -> DataFrame:
+    """Deterministic IVF-flat coarse quantizer: the ``n_cells`` corpus
+    vectors with the smallest ``xxhash64(id)`` serve as cell centroids
+    (a hash-ordered sample — stable under repartitioning and unaffected
+    by row order; the classic k-means refinement is an optional offline
+    step that only moves centroids, not the algorithm shape). The
+    orderBy+limit compiles to TakeOrderedAndProject — per-partition
+    top-K then a K-row merge on the driver, no global sort."""
+    sample = (
+        vecs.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"))
+        .orderBy(F.xxhash64(F.col("cid").cast("string")), F.col("cid"))
+        .limit(n_cells)
+    )
+    w = Window.orderBy("cid")
+    return sample.withColumn("cell", F.row_number().over(w) - 1).select("cell", "cvec")
+
+
+def ivf_assign(
+    vecs: DataFrame, id_col: str, vec_col: str, centroids: DataFrame,
+    out_id: str = "id",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (max cosine).
+    Broadcast the K-row centroid table, score JVM-side, reduce with a
+    map-side-combining max_by agg — the shuffle carries one row per
+    vector, never the K-times-expanded scores."""
+    scored = (
+        vecs.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("_v"))
+        .crossJoin(F.broadcast(centroids))
+        .withColumn("_sim", cosine_sim(F.col("_v"), F.col("cvec")))
+    )
+    return scored.groupBy(out_id).agg(
+        F.max_by("cell", F.struct(F.col("_sim"), -F.col("cell"))).alias("cell"),
+        F.any_value("_v").alias("_v"),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, k: int = 10, n_cells: int = 16, nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors live in coarse cells; each
+    query probes its ``nprobe`` nearest cells and ranks exact cosine
+    over only those cells' members. Candidate work per query is
+    ~(nprobe/n_cells) of the corpus instead of all of it, and the
+    candidate join is a broadcast equi-join on the cell id — the IVF
+    counterpart of the hyperplane-LSH bucket path (``lsh_topk``)."""
+    cent = ivf_centroids(corpus, id_col, vec_col, n_cells)
+    ca = ivf_assign(corpus, id_col, vec_col, cent, out_id="neighbor_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    qs = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_sim", cosine_sim(F.col("_q"), F.col("cvec")))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    qa = (
+        qs.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "cell", "_q")
+    )
+    scored = ca.join(F.broadcast(qa), "cell").withColumn(
+        "cosine", F.round(cosine_sim(F.col("_v"), F.col("_q")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

@@ -2073,3 +2073,22 @@ def t2_pack_greedy(spark, sf_dir):
         F.sum("n_tok").alias("n_tokens"),
         F.min("doc_id").alias("first_doc"),
     )
+
+
+@register(
+    "ivf_topk", None,
+    doc="IVF approximate ANN: hash-sampled coarse centroids -> "
+        "map-side-combining nearest-cell assignment -> nprobe cell probe "
+        "-> exact cosine rank over probed cells only. The inverted-file "
+        "counterpart of lsh_topk: candidate work per query is "
+        "~(nprobe/n_cells) of the corpus and the candidate join is a "
+        "broadcast equi-join on cell id. Recall vs brute_force_topk is "
+        "pytest-pinned (test_ivf.py).",
+)
+def ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 20)
+    return S.ivf_topk(emb, q, "vec_id", "embedding", "vec_id", k=5,
+                      n_cells=8, nprobe=4)
