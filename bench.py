@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     "cosine_topk",
     "o2_xy_cut_order",
     "p0_full_assembly",
+    "t1_sequence_pack",
+    "ivf_topk",
 ]
 
 # replay sizing per sf of the driver testdata we're pointed at; sized so

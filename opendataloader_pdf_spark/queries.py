@@ -2078,10 +2078,11 @@ def t2_pack_greedy(spark, sf_dir):
 @register(
     "ivf_topk", None,
     doc="IVF approximate ANN: hash-sampled coarse centroids -> "
-        "map-side-combining nearest-cell assignment -> nprobe cell probe "
-        "-> exact cosine rank over probed cells only. The inverted-file "
-        "counterpart of lsh_topk: candidate work per query is "
-        "~(nprobe/n_cells) of the corpus and the candidate join is a "
+        "Arrow-batched nearest-cell assignment (one numpy matmul per "
+        "batch, narrow map stage — no K-times row expansion) -> nprobe "
+        "cell probe -> exact einsum cosine over probed cells only. The "
+        "inverted-file counterpart of lsh_topk: candidate work per query "
+        "is ~(nprobe/n_cells) of the corpus and the candidate join is a "
         "broadcast equi-join on cell id. Recall vs brute_force_topk is "
         "pytest-pinned (test_ivf.py).",
 )

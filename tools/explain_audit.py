@@ -48,6 +48,8 @@ AUDITED = [
     "o2_xy_cut_order",
     "w1_windowed_activity",
     "p0_full_assembly",
+    "t1_sequence_pack",
+    "ivf_topk",
 ]
 
 
