@@ -552,6 +552,7 @@ def ivf_assign(
 def ivf_topk(
     corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
     query_id_col: str, k: int = 10, n_cells: int = 16, nprobe: int = 4,
+    refine_iters: int = 0,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors live in coarse cells; each
     query probes its ``nprobe`` nearest cells and ranks exact cosine
@@ -566,6 +567,8 @@ def ivf_topk(
     centroid lineage never re-runs per consumer. Measured vs the
     JVM higher-order-function form at sf0.1: 4.3s -> see BENCH."""
     C = _centroid_matrix(ivf_centroids(corpus, id_col, vec_col, n_cells))
+    if refine_iters:
+        C = ivf_refine(corpus, vec_col, C, iters=refine_iters)
     assign1 = _cell_probe_udf(C, 1)
     ca = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_v")
@@ -585,3 +588,53 @@ def ivf_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def ivf_refine(
+    vecs: DataFrame, vec_col: str, centroids: np.ndarray, iters: int = 2,
+) -> np.ndarray:
+    """Spherical k-means refinement of the IVF codebook: ``iters``
+    Lloyd rounds of (assign to nearest centroid → per-cell mean →
+    renormalize). Distributed in the textbook shape: each PARTITION
+    emits only its K×dim partial sums + counts via ``mapInPandas``
+    (one matmul + bincount per Arrow batch), the driver combines the
+    tiny partials — full vectors are never shuffled, and per-iteration
+    cost is one narrow pass over the corpus. Empty cells keep their
+    previous centroid. Deterministic: no random init (seeded by the
+    hash-sampled ``ivf_centroids``), float64 partial sums."""
+    K, d = centroids.shape
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+    v = vecs.select(F.col(vec_col).alias("_v"))
+    schema = T.StructType([
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("s", T.ArrayType(T.DoubleType())),
+        T.StructField("n", T.LongType()),
+    ])
+    for _ in range(iters):
+        Cc = C  # bind current codebook into the closure
+
+        def partials(batches, Cc=Cc):
+            sums = np.zeros((K, d))
+            cnt = np.zeros(K, dtype=np.int64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+                cell = np.argmax(V @ Cc.T, axis=1)
+                np.add.at(sums, cell, V)
+                cnt += np.bincount(cell, minlength=K)
+            yield pd.DataFrame(
+                {"cell": np.arange(K, dtype=np.int32), "s": list(sums), "n": cnt}
+            )
+
+        rows = v.mapInPandas(partials, schema).collect()
+        sums = np.zeros((K, d))
+        cnt = np.zeros(K, dtype=np.int64)
+        for r in rows:
+            sums[r.cell] += np.asarray(r.s)
+            cnt[r.cell] += r.n
+        newC = C.copy()
+        nz = cnt > 0
+        newC[nz] = _unit_rows(sums[nz] / cnt[nz, None])
+        C = np.ascontiguousarray(newC)
+    return C

@@ -44,3 +44,45 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
         ["query_id", "neighbor_id"],
     ).filter(F.col("x.cosine") != F.col("t.cosine"))
     assert joined.count() == 0
+
+
+def test_kmeans_refinement_recovers_clusters(spark):
+    """On a corpus of 4 well-separated clusters, spherical k-means
+    refinement of the sampled codebook yields near-pure cells and
+    nprobe=1 search with high recall."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(4, 16) * 10.0  # 4 orthogonal, far-apart centers
+    rows = []
+    for i in range(400):
+        c = i % 4
+        v = centers[c] + rng.randn(16) * 0.1
+        rows.append((i, [float(x) for x in v], c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, truth int")
+
+    cent0 = S._centroid_matrix(
+        S.ivf_centroids(df, "vec_id", "embedding", n_cells=4)
+    )
+    cent1 = S.ivf_refine(df, "embedding", cent0, iters=3)
+
+    def purity(C):
+        probe = S._cell_probe_udf(C, 1)
+        a = df.withColumn("cell", F.element_at(probe("embedding"), 1)).toPandas()
+        # a cell is "pure" if all its members share one truth label
+        tot = 0
+        for _, g in a.groupby("cell"):
+            tot += g["truth"].value_counts().iloc[0]
+        return tot / len(a)
+
+    p0, p1 = purity(cent0), purity(cent1)
+    assert p1 >= p0
+    assert p1 >= 0.99  # Lloyd rounds on separated clusters converge
+
+    q = df.filter(F.col("vec_id") < 8)
+    exact = S.brute_force_topk(df, q, "vec_id", "embedding", "vec_id", k=5)
+    approx = S.ivf_topk(df, q, "vec_id", "embedding", "vec_id", k=5,
+                        n_cells=4, nprobe=1, refine_iters=3)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    assert len(e & a) / len(e) >= 0.95
