@@ -2093,3 +2093,64 @@ def ivf_topk(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 20)
     return S.ivf_topk(emb, q, "vec_id", "embedding", "vec_id", k=5,
                       n_cells=8, nprobe=4)
+
+
+@register(
+    "t3_packed_sequences",
+    """
+    WITH tok AS (
+      SELECT source, doc_id,
+             list_transform(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' '),
+                            w -> length(w)*257 + ascii(w)) AS tokens
+      FROM documents WHERE length(trim(text)) > 0
+    ), sized AS (
+      SELECT source, doc_id, tokens, len(tokens)::BIGINT AS n_tok FROM tok
+    ), st AS (
+      SELECT source, doc_id, tokens,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tok AS stt
+      FROM sized
+    ), seqs AS (
+      SELECT source, floor(stt / 512)::BIGINT AS pack_id,
+             count(*)::BIGINT AS n_docs,
+             flatten(list(tokens ORDER BY doc_id)) AS seq
+      FROM st GROUP BY source, floor(stt / 512)::BIGINT
+    )
+    SELECT source, pack_id, n_docs, len(seq)::INT AS n_tokens,
+           (list_reduce(seq, (a,v) -> (a*1000003 + v) % 2147483647) * 2147483648
+            + list_reduce(seq, (a,v) -> (a*999983 + v) % 536870909))::BIGINT AS fp
+    FROM seqs
+    """,
+    doc="T3 packed-sequence materialization: tokenize -> contiguous-bin "
+        "pack (T1) -> per-pack ordered flatten into the actual training "
+        "sequence -> Horner fingerprint digest (Arrow UDF; raw arrays "
+        "never leave the plan — the driver canonicalizer needs scalar "
+        "cells). The end-to-end 'build packed pretraining batches' "
+        "pipeline: one shard-keyed window + one shard-keyed agg.",
+)
+def t3_packed_sequences(spark, sf_dir):
+    from opendataloader_pdf_spark.functions import tokens as TK
+    from opendataloader_pdf_spark.operators.packing import pack_offset
+
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = F.split(X.normalize_ws(F.lower(F.col("text"))), " ")
+    toks = F.transform(words, lambda w: (F.length(w) * 257 + F.ascii(w)).cast("int"))
+    base = d.select(
+        "source", "doc_id", toks.alias("tokens"),
+        F.size(toks).cast("long").alias("n_tok"),
+    )
+    packed = pack_offset(base, ["source"], "doc_id", "n_tok", budget=512)
+    seqs = packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("doc_id", "tokens"))),
+                lambda s: s["tokens"],
+            )
+        ).alias("seq"),
+    )
+    return seqs.select(
+        "source", "pack_id", "n_docs",
+        F.size("seq").alias("n_tokens"),
+        TK.token_fingerprint(F.col("seq")).alias("fp"),
+    )

@@ -49,6 +49,7 @@ AUDITED = [
     "w1_windowed_activity",
     "p0_full_assembly",
     "t1_sequence_pack",
+    "t3_packed_sequences",
     "ivf_topk",
 ]
 
