@@ -136,7 +136,16 @@ def main() -> None:
     # (upfront probe window, reduce, MERGE join, snapshot write) so the
     # measured run reports steady-state throughput, not JVM JIT latency
     run_replay(spark, 20_000, 2_000, workdir, batch_size=5_000)
-    replay = run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
+    # shared-host run-to-run variance is ±15-25%; report the median of 3
+    # trials so the headline throughput measures the engine, not the
+    # neighbor's workload (same protocol as tools/scaling_bench.py)
+    trials = sorted(
+        (run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
+         for _ in range(3)),
+        key=lambda r: r["events_per_sec"],
+    )
+    replay = trials[1]
+    replay["trial_events_per_sec"] = [t["events_per_sec"] for t in trials]
     # merge-on-read ingest mode: same reduce, append-only delta commits,
     # LWW resolved at read (final_rows pays the resolve — kept honest)
     replay_mor = run_replay(spark, n_events, n_docs, workdir,
