@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from opendataloader_pdf_spark.functions import text as X
 from opendataloader_pdf_spark.functions import similarity as S
 from opendataloader_pdf_spark.operators import adjacency as adj
+from opendataloader_pdf_spark.operators.components import connected_components
 from opendataloader_pdf_spark.operators import relational as R
 from opendataloader_pdf_spark.operators import sessionize as sess
 from opendataloader_pdf_spark.operators import spatial as sp
@@ -646,6 +647,64 @@ def ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return S.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12,
                                  max_df=100)
+
+
+@register(
+    "dedup_components",
+    """
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                                   for i in range(1, greatest(len(arr)-2, 1)+1)])) AS sh
+      FROM w
+    ), capped AS (
+      SELECT s.doc_id, s.sh FROM sh s
+      JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) ok
+        ON ok.sh = s.sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.12
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(src, node) AS (
+      -- transitive closure by set-semantics recursion; component label =
+      -- min reachable node (matches the alternating-star fixpoint)
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    )
+    SELECT src AS doc_id, min(node) AS component,
+           (min(node) = src) AS is_canonical
+    FROM reach GROUP BY src
+    """,
+    doc="Near-dup GROUPS from near-dup PAIRS: transitive closure of the "
+        "n-gram Jaccard pair list via alternating large-star/small-star "
+        "(Kiveris et al. SoCC'14) — O(log² n) shuffle rounds vs diameter "
+        "rounds for label propagation. Canonical doc = min id per group.",
+)
+def dedup_components(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    pairs = S.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12,
+                                  max_df=100)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        "component",
+        (F.col("component") == F.col("node")).alias("is_canonical"),
+    )
 
 
 @register(
