@@ -955,9 +955,33 @@ def a2_fold_paragraphs(spark, sf_dir):
 
 
 @register(
-    "a15_stack_levels", None,
+    "a15_stack_levels",
+    """
+    WITH RECURSIVE ev AS (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events
+    ), rec AS (
+      -- per-user sequential stack fold: pop back to a seen style's depth,
+      -- else push one deeper (mirrors operators/folds.stack_levels)
+      SELECT user_id, event_id, event_type, rn,
+             [event_type] AS stack, 1 AS level
+      FROM ev WHERE rn = 1
+      UNION ALL
+      SELECT e.user_id, e.event_id, e.event_type, e.rn,
+             CASE WHEN list_position(r.stack, e.event_type) = 0
+                  THEN list_append(r.stack, e.event_type)
+                  ELSE r.stack[1:list_position(r.stack, e.event_type)] END,
+             CASE WHEN list_position(r.stack, e.event_type) = 0
+                  THEN len(r.stack) + 1
+                  ELSE list_position(r.stack, e.event_type) END
+      FROM rec r JOIN ev e ON e.user_id = r.user_id AND e.rn = r.rn + 1
+    )
+    SELECT user_id, event_id, event_type, level FROM rec
+    """,
     doc="A15 indent-level stack automaton (LevelProcessor.java:33-138) via "
-        "grouped applyInPandas over (user_id) ordered by event_id.",
+        "grouped applyInPandas over (user_id) ordered by event_id; oracle = "
+        "recursive-CTE stack fold (list-typed state column).",
 )
 def a15_stack_levels(spark, sf_dir):
     from opendataloader_pdf_spark.operators.folds import stack_levels
@@ -2104,13 +2128,36 @@ def t1_sequence_pack(spark, sf_dir):
 
 
 @register(
-    "t2_pack_greedy", None,
+    "t2_pack_greedy",
+    """
+    WITH RECURSIVE d AS (
+      SELECT source, doc_id,
+             length(regexp_split_to_array(trim(text), '\\s+')) AS n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents WHERE length(trim(text)) > 0
+    ), rec AS (
+      -- reset-on-overflow prefix fold: scalar state = (load, pack_id);
+      -- an oversized doc still opens (and fills) its own pack
+      SELECT source, rn, doc_id, n_tok, n_tok AS load, 0 AS pack_id
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT e.source, e.rn, e.doc_id, e.n_tok,
+             CASE WHEN r.load + e.n_tok <= 512 THEN r.load + e.n_tok
+                  ELSE e.n_tok END,
+             CASE WHEN r.load + e.n_tok <= 512 THEN r.pack_id
+                  ELSE r.pack_id + 1 END
+      FROM rec r JOIN d e ON e.source = r.source AND e.rn = r.rn + 1
+    )
+    SELECT source, pack_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+           min(doc_id) AS first_doc
+    FROM rec GROUP BY source, pack_id
+    """,
     doc="T2 exact first-fit-sequential packing (no document straddles a "
         "window): grouped applyInPandas whose per-group scan finds pack "
         "boundaries with one np.searchsorted per OUTPUT window — "
         "O(#packs) loop iterations, not O(rows). Budget-respect and "
-        "maximality are pytest-pinned (test_packing.py); not ANSI-SQL "
-        "(reset-on-overflow prefix scan needs per-group recursion).",
+        "maximality are pytest-pinned (test_packing.py); oracle = "
+        "recursive-CTE reset-on-overflow fold.",
 )
 def t2_pack_greedy(spark, sf_dir):
     from opendataloader_pdf_spark.operators.packing import (
