@@ -51,6 +51,7 @@ AUDITED = [
     "t1_sequence_pack",
     "t3_packed_sequences",
     "ivf_topk",
+    "dedup_components",
 ]
 
 
