@@ -172,6 +172,40 @@ def minhash_signatures(
     )
 
 
+def _band_buckets(
+    sig: DataFrame, k: int, bands: int, max_bucket: int | None,
+    extra_cols: list[str] | None = None,
+) -> DataFrame:
+    """(id, sig) → exploded (id, band, bh) LSH bucket rows; optional
+    bucket-size cap (degenerate-bucket reducer guard, see
+    minhash_lsh_candidates). ``extra_cols`` are carried through the
+    explode (narrow — no join-back needed)."""
+    extra = extra_cols or []
+    rows_per_band = k // bands
+    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
+    banded = sig.select(
+        "id",
+        *extra,
+        F.explode(
+            F.transform(
+                band_idx,
+                lambda bi: F.struct(
+                    bi.alias("band"),
+                    F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
+                ),
+            )
+        ).alias("b"),
+    ).select("id", *extra, "b.band", "b.bh")
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bh")
+        banded = (
+            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+    return banded
+
+
 def minhash_lsh_candidates(
     docs: DataFrame,
     id_col: str,
@@ -201,28 +235,8 @@ def minhash_lsh_candidates(
     Caching contract: signatures are cached (both self-join sides read
     them); long-lived sessions should spark.catalog.clearCache() between
     unrelated calls."""
-    rows_per_band = k // bands
     sig = minhash_signatures(docs, id_col, text_col, n, k, seed).cache()
-    band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.transform(
-                band_idx,
-                lambda bi: F.struct(
-                    bi.alias("band"),
-                    F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
-                ),
-            )
-        ).alias("b"),
-    ).select("id", "b.band", "b.bh")
-    if max_bucket is not None:
-        w = Window.partitionBy("band", "bh")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
+    banded = _band_buckets(sig, k, bands, max_bucket)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -281,6 +295,55 @@ def minhash_dedup(
     )
     losers = verified.select(F.col("id_b").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def minhash_lsh_candidates_incremental(
+    new_docs: DataFrame,
+    index_sig: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    max_bucket: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental LSH dedup: candidates for a NEW document batch against
+    a persisted signature index — the 100 TB ingest shape, where the
+    corpus is never re-shingled.
+
+    ``index_sig`` is a (id, sig array<long>) frame produced by
+    ``minhash_signatures`` with the SAME (n, k, seed) — e.g. a parquet
+    table appended to per batch. Returns ``(candidates, new_sig)``:
+    candidate pairs where AT LEAST ONE side is new (new-vs-corpus and
+    new-vs-new; corpus-vs-corpus pairs were already emitted when those
+    docs were ingested), and the new batch's signatures for the caller
+    to append to the index.
+
+    Cost shape: shingle+sign the new batch only; the corpus contributes
+    one scan of its (already computed) signatures into the band join.
+    The band join stays an equi-join on (band, bh), and the
+    at-least-one-new predicate lands as a cheap post-join filter on two
+    boolean columns. ``max_bucket`` caps COMBINED bucket size, matching
+    what a from-scratch run over corpus+batch would see."""
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k, seed)
+    tagged = index_sig.select("id", "sig", F.lit(False).alias("is_new")).unionByName(
+        new_sig.select("id", "sig", F.lit(True).alias("is_new"))
+    )
+    banded = _band_buckets(tagged, k, bands, max_bucket, extra_cols=["is_new"])
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(F.col("a.is_new") | F.col("b.is_new"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return cands, new_sig
 
 
 # --------------------------------------------------------------- SimHash

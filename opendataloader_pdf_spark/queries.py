@@ -871,6 +871,28 @@ def minhash_lsh_dedup(spark, sf_dir):
 
 
 @register(
+    "minhash_incremental", None,
+    doc="Incremental MinHash-LSH ingest: candidates for a NEW doc batch "
+        "against a persisted signature index (corpus never re-shingled — "
+        "the 100 TB ingest shape). Pytest pins equality with a "
+        "from-scratch run restricted to batch-touching pairs.",
+)
+def minhash_incremental(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    clones = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    uni = d.unionByName(clones)
+    corpus = uni.filter(F.col("doc_id") < 300)
+    batch = uni.filter(F.col("doc_id") >= 300)
+    index_sig = S.minhash_signatures(corpus, "doc_id", "text", n=3, k=32)
+    cands, _ = S.minhash_lsh_candidates_incremental(
+        batch, index_sig, "doc_id", "text", n=3, k=32, bands=8
+    )
+    return cands
+
+
+@register(
     "simhash_docs", None,
     doc="SimHash signatures (vectorized bit-vote pandas UDF) + hamming "
         "distance to the exact-duplicate twin == 0 invariant in pytest.",
