@@ -34,6 +34,7 @@ BENCH_QUERIES = [
     "token_pipeline",
     "ngram_jaccard_pairs",
     "minhash_lsh_dedup",
+    "dedup_components",
     "cosine_topk",
     "o2_xy_cut_order",
     "p0_full_assembly",
