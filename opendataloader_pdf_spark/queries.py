@@ -871,6 +871,37 @@ def minhash_lsh_dedup(spark, sf_dir):
 
 
 @register(
+    "split_assign",
+    """
+    WITH b AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5('v1:' || doc_id::VARCHAR), 1, 4))::INT AS bkt
+      FROM documents
+    )
+    SELECT source,
+           CASE WHEN bkt < 58982 THEN 'train'
+                WHEN bkt < 62259 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM b GROUP BY source, split
+    """,
+    doc="Deterministic train/val/test assignment by md5 hash bucket — "
+        "stable under reshuffle and append-only corpus growth (unlike "
+        "randomSplit); md5 makes the assignment bit-identical across "
+        "engines, so the oracle checks exact bucket boundaries.",
+)
+def split_assign(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.sampling import hash_split
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    s = hash_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05},
+                   salt="v1")
+    return s.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@register(
     "minhash_incremental", None,
     doc="Incremental MinHash-LSH ingest: candidates for a NEW doc batch "
         "against a persisted signature index (corpus never re-shingled — "

@@ -70,6 +70,26 @@ def test_random_sparse(spark, seed):
     _check(spark, edges)
 
 
+def test_incremental_closure(spark):
+    # the converged (node, component) mapping is itself an edge list with
+    # the same closure — union it with NEW pairs instead of re-walking
+    # old pairs (incremental corpus growth)
+    old = [(i, i + 1) for i in range(0, 20, 2)]  # 10 two-node components
+    new = [(1, 3), (5, 7), (100, 101)]
+    prior = connected_components(
+        spark.createDataFrame(old, "id_a: long, id_b: long"), "id_a", "id_b"
+    ).toDF("id_a", "id_b")
+    inc = connected_components(
+        prior.unionAll(spark.createDataFrame(new, "id_a: long, id_b: long")),
+        "id_a", "id_b",
+    )
+    batch = connected_components(
+        spark.createDataFrame(old + new, "id_a: long, id_b: long"),
+        "id_a", "id_b",
+    )
+    assert {tuple(r) for r in inc.collect()} == {tuple(r) for r in batch.collect()}
+
+
 def test_empty(spark):
     df = spark.createDataFrame([], "id_a: long, id_b: long")
     assert connected_components(df, "id_a", "id_b").count() == 0
