@@ -52,6 +52,8 @@ AUDITED = [
     "t3_packed_sequences",
     "ivf_topk",
     "dedup_components",
+    "split_assign",
+    "minhash_incremental",
 ]
 
 
