@@ -64,3 +64,32 @@ def hash_split(
     # single chained CASE WHEN evaluates the bucket once per row (Catalyst
     # dedups the common subexpression inside one projection)
     return df.withColumn(split_col, expr)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    salt: str = "mix1",
+) -> DataFrame:
+    """Data mixing: keep each row with its source's target rate,
+    deterministically — the op that turns raw per-source corpora into a
+    training mixture (e.g. web 30%, books 100%).
+
+    Same md5-bucket machinery as ``hash_split``: a row survives iff
+    bucket < rate·65536 for its source, so the sample is a pure function
+    of (salt, id) — reproducible across runs/engines, append-stable
+    under corpus growth, and NESTED across rates (the 30% sample is a
+    subset of the 50% sample under the same salt — deterministic
+    mixture sweeps). Sources absent from ``rates`` are dropped
+    (explicit mixture contract: unlisted ≠ rate 1.0).
+
+    Plan shape: broadcast-free — the rate table rides a literal
+    ``create_map`` expression evaluated JVM-side; the whole op is one
+    narrow filter, no shuffle, no join."""
+    pairs: list[Column] = []
+    for src, rate in rates.items():
+        pairs += [F.lit(src), F.lit(int(round(rate * _BUCKETS)))]
+    thr = F.create_map(*pairs)[F.col(source_col)]
+    return df.filter(hash_bucket(F.col(id_col), salt) < thr)

@@ -902,6 +902,36 @@ def split_assign(spark, sf_dir):
 
 
 @register(
+    "mixture_sample",
+    """
+    WITH b AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5('mix1:' || doc_id::VARCHAR), 1, 4))::INT AS bkt
+      FROM documents
+    )
+    SELECT source, count(*) AS n_docs, min(doc_id) AS min_doc
+    FROM b
+    WHERE bkt < CASE WHEN substr(source, 4)::INT % 2 = 0 THEN 65536
+                     ELSE 19661 END
+    GROUP BY source
+    """,
+    doc="Data mixing: per-source deterministic sampling rates (even "
+        "sources 100%, odd 30%) via md5 buckets — reproducible, "
+        "append-stable, nested across rates; one narrow filter, no "
+        "shuffle/join (rate table is a literal map expression).",
+)
+def mixture_sample_q(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.sampling import mixture_sample
+
+    d = _t(spark, sf_dir, "documents").select("source", "doc_id")
+    rates = {f"src{i}": (1.0 if i % 2 == 0 else 0.3) for i in range(20)}
+    s = mixture_sample(d, "doc_id", "source", rates, salt="mix1")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_doc")
+    )
+
+
+@register(
     "minhash_incremental", None,
     doc="Incremental MinHash-LSH ingest: candidates for a NEW doc batch "
         "against a persisted signature index (corpus never re-shingled — "

@@ -61,6 +61,35 @@ def test_proportions(spark):
     assert abs(counts["test"] / 20000 - 0.05) < 0.01
 
 
+def test_mixture_rates_and_nesting(spark):
+    from opendataloader_pdf_spark.functions.sampling import mixture_sample
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("source"),
+    )
+    s50 = mixture_sample(df, "doc_id", "source", {"a": 0.5, "b": 1.0})
+    s30 = mixture_sample(df, "doc_id", "source", {"a": 0.3, "b": 1.0})
+    n_a50 = s50.filter(F.col("source") == "a").count()
+    n_a30 = s30.filter(F.col("source") == "a").count()
+    assert abs(n_a50 / 5000 - 0.5) < 0.03
+    assert abs(n_a30 / 5000 - 0.3) < 0.03
+    assert s50.filter(F.col("source") == "b").count() == 5000
+    # nesting: the 30% sample is a subset of the 50% sample (same salt)
+    ids50 = {r["doc_id"] for r in s50.select("doc_id").collect()}
+    ids30 = {r["doc_id"] for r in s30.select("doc_id").collect()}
+    assert ids30 <= ids50
+
+
+def test_mixture_unlisted_source_dropped(spark):
+    from opendataloader_pdf_spark.functions.sampling import mixture_sample
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("mystery").alias("source")
+    )
+    assert mixture_sample(df, "doc_id", "source", {"a": 1.0}).count() == 0
+
+
 def test_salt_redeal(spark):
     df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
     a = dict(hash_split(df, "doc_id", W, salt="v1").collect())
