@@ -902,6 +902,40 @@ def split_assign(spark, sf_dir):
 
 
 @register(
+    "vocab_stats",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents WHERE length(trim(text)) > 0
+    ), t AS (
+      SELECT doc_id, length(w) * 257 + ascii(w) AS token FROM w
+    ), g AS (
+      SELECT token, doc_id, count(*) AS c FROM t GROUP BY token, doc_id
+    )
+    SELECT token, sum(c)::BIGINT AS tf, count(*) AS df
+    FROM g GROUP BY token HAVING sum(c) >= 5
+    """,
+    doc="Vocabulary stats over the token stream: term frequency + document "
+        "frequency per token (vocab pruning / stopword-id input). Two-level "
+        "aggregation — groupBy(token, doc) then groupBy(token) — so both "
+        "stages are map-side combinable; avoids count_distinct's expand, "
+        "which doubles shuffle width at 100 TB.",
+)
+def vocab_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter(F.length(F.trim("text")) > 0)
+    words = F.split(X.normalize_ws(F.lower(F.col("text"))), " ")
+    toks = F.transform(words, lambda w: (F.length(w) * 257 + F.ascii(w)).cast("int"))
+    ex = d.select("doc_id", F.explode(toks).alias("token"))
+    per_doc = ex.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc.groupBy("token")
+        .agg(F.sum("c").alias("tf"), F.count(F.lit(1)).alias("df"))
+        .filter(F.col("tf") >= 5)
+    )
+
+
+@register(
     "mixture_sample",
     """
     WITH b AS (
