@@ -38,6 +38,7 @@ BENCH_QUERIES = [
     "cosine_topk",
     "o2_xy_cut_order",
     "p0_full_assembly",
+    "p1_corpus_pipeline",
     "t1_sequence_pack",
     "t3_packed_sequences",
     "ivf_topk",

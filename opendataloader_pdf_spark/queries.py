@@ -902,6 +902,109 @@ def split_assign(spark, sf_dir):
 
 
 @register(
+    "p1_corpus_pipeline",
+    """
+    WITH RECURSIVE w AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                                   for i in range(1, greatest(len(arr)-2, 1)+1)])) AS sh
+      FROM w
+    ), capped AS (
+      SELECT s.doc_id, s.sh FROM sh s
+      JOIN (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 100) ok
+        ON ok.sh = s.sh
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM capped GROUP BY doc_id
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ), pairs AS (
+      SELECT id_a, id_b FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE common / (sa.n_sh + sb.n_sh - common) >= 0.12
+    ), edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ), reach(src, node) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT r.src, e.v FROM reach r JOIN edges e ON e.u = r.node
+    ), comp AS (
+      SELECT src AS doc_id, min(node) AS component FROM reach GROUP BY src
+    ), keep AS (
+      -- canonical survivors of dedup, nonempty, dealt into the train split
+      SELECT d.source, d.doc_id,
+             length(regexp_split_to_array(trim(d.text), '\\s+')) AS n_tok
+      FROM documents d
+      WHERE length(trim(d.text)) > 0
+        AND d.doc_id NOT IN (SELECT doc_id FROM comp WHERE component <> doc_id)
+        AND ('0x' || substr(md5('v1:' || d.doc_id::VARCHAR), 1, 4))::INT < 58982
+    ), seq AS (
+      SELECT source, doc_id, n_tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM keep
+    ), packrec AS (
+      SELECT source, rn, doc_id, n_tok, n_tok AS load, 0 AS pack_id
+      FROM seq WHERE rn = 1
+      UNION ALL
+      SELECT e.source, e.rn, e.doc_id, e.n_tok,
+             CASE WHEN r.load + e.n_tok <= 512 THEN r.load + e.n_tok
+                  ELSE e.n_tok END,
+             CASE WHEN r.load + e.n_tok <= 512 THEN r.pack_id
+                  ELSE r.pack_id + 1 END
+      FROM packrec r JOIN seq e ON e.source = r.source AND e.rn = r.rn + 1
+    )
+    SELECT source, pack_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
+           min(doc_id) AS min_doc
+    FROM packrec GROUP BY source, pack_id
+    """,
+    doc="P1 end-to-end training-corpus build — the LLM-pipeline flagship: "
+        "n-gram Jaccard near-dup pairs → connected-components closure → "
+        "keep canonical docs → deterministic train split (md5 hash-split) "
+        "→ greedy sequence packing at budget 512. Every stage is the "
+        "already-audited operator; the oracle composes their SQL twins "
+        "verbatim. The components stage is the only driver loop; all else "
+        "is one Catalyst plan.",
+)
+def p1_corpus_pipeline(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.sampling import hash_split
+    from opendataloader_pdf_spark.operators.packing import (
+        pack_greedy,
+        whitespace_token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = S.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.12,
+                                  max_df=100)
+    cc = connected_components(pairs, "id_a", "id_b")
+    losers = cc.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    keep = (
+        d.filter(F.length(F.trim("text")) > 0)
+        .join(losers, "doc_id", "left_anti")
+        .select("source", "doc_id",
+                whitespace_token_count(F.col("text")).cast("long").alias("n_tok"))
+    )
+    train = hash_split(keep, "doc_id",
+                       {"train": 0.9, "val": 0.05, "test": 0.05},
+                       salt="v1").filter(F.col("split") == "train")
+    packed = pack_greedy(train.drop("split"), ["source"], "doc_id", "n_tok",
+                         budget=512)
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+@register(
     "vocab_stats",
     """
     WITH w AS (

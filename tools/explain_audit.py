@@ -54,6 +54,7 @@ AUDITED = [
     "dedup_components",
     "split_assign",
     "minhash_incremental",
+    "p1_corpus_pipeline",
 ]
 
 
