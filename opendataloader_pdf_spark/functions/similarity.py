@@ -103,18 +103,27 @@ def ngram_jaccard_pairs(
             F.transform(text_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
         ).alias("sh"),
     ).cache()
+    # df per shingle is a map-side-combinable agg over the CACHED frame
+    # (one materialization feeds the df-agg, the size agg, and both join
+    # sides)
+    dfc = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
     if max_df is not None:
-        # df per shingle is a map-side-combinable agg over the CACHED
-        # frame (one materialization feeds the df-agg, the size agg, and
-        # both join sides); the cap itself is a broadcast anti-join
-        # against the small hot set.
-        hot = (
-            sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > max_df).select("sh")
-        )
+        # the cap itself is a broadcast anti-join against the small hot set
+        hot = dfc.filter(F.col("_df") > max_df).select("sh")
         sh = sh.join(F.broadcast(hot), "sh", "left_anti")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # a df==1 shingle appears in exactly one doc and can't contribute a
+    # pair, but in natural text MOST shingles are df==1 — dropping them
+    # BEFORE the self-join shrinks the quadratic stage's input while
+    # leaving `common` (and sizes, computed above) untouched. The
+    # semi-join shuffles on sh, the same key as dfc's agg, so the
+    # exchange is reused.
+    pair_cond = F.col("_df") >= 2
+    if max_df is not None:
+        pair_cond = pair_cond & (F.col("_df") <= max_df)
+    joinable = dfc.filter(pair_cond).select("sh")
+    core = sh.join(joinable, "sh", "left_semi")
+    a, b = core.alias("a"), core.alias("b")
     common = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
