@@ -960,8 +960,8 @@ def split_assign(spark, sf_dir):
                   ELSE r.pack_id + 1 END
       FROM packrec r JOIN seq e ON e.source = r.source AND e.rn = r.rn + 1
     )
-    SELECT source, pack_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-           min(doc_id) AS min_doc
+    SELECT source, pack_id::BIGINT AS pack_id, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens, min(doc_id) AS min_doc
     FROM packrec GROUP BY source, pack_id
     """,
     doc="P1 end-to-end training-corpus build — the LLM-pipeline flagship: "
@@ -2368,8 +2368,8 @@ def t1_sequence_pack(spark, sf_dir):
                   ELSE r.pack_id + 1 END
       FROM rec r JOIN d e ON e.source = r.source AND e.rn = r.rn + 1
     )
-    SELECT source, pack_id, count(*) AS n_docs, sum(n_tok) AS n_tokens,
-           min(doc_id) AS first_doc
+    SELECT source, pack_id::BIGINT AS pack_id, count(*) AS n_docs,
+           sum(n_tok)::BIGINT AS n_tokens, min(doc_id) AS first_doc
     FROM rec GROUP BY source, pack_id
     """,
     doc="T2 exact first-fit-sequential packing (no document straddles a "
