@@ -67,6 +67,8 @@ class JobKilled(RuntimeError):
 @dataclass
 class ReplaySummary:
     batches: list[dict] = field(default_factory=list)
+    #: malformed events diverted to the dead-letter table (quarantine mode)
+    quarantined: int = 0
 
     @property
     def events(self) -> int:
@@ -95,8 +97,20 @@ class ReplayEngine:
         precompute_stats_max_batch: int = 4_000_000,
         reduce_strategy: str = "agg",
         broadcast_reduce_max_keys: int = 8_000_000,
+        quarantine: bool = False,
     ):
         self.pending_path = pending_path
+        #: dead-letter routing for malformed events (null key / null lsn /
+        #: null or unknown op / null delivery_seq). Off by default: a
+        #: trusted binlog never produces them and the guard predicate +
+        #: probe column aren't free. On, invalid rows are diverted to
+        #: <sink.root>/_quarantine/batch=<b>/ (idempotent per-batch
+        #: overwrite, so crash/retry can't duplicate them), counted in the
+        #: per-batch summary, and excluded from every reduce/merge — the
+        #: quarantine write job only runs for batches the upfront probe
+        #: says actually contain invalid rows, so clean streams pay one
+        #: extra probe aggregate and nothing else.
+        self.quarantine = quarantine
         #: batch-size gate for the delta-merge fast path: its survivors
         #: anti-join broadcasts the batch's winner KEYS (≤ distinct keys ≤
         #: events); above this, fall back to the shuffle full-outer MERGE.
@@ -143,6 +157,30 @@ class ReplayEngine:
         #: on a real cluster with many buckets the cached pass is also the
         #: safe default.
         self.observe_stats = observe_stats
+
+    _VALID_OPS = ("insert", "update", "delete", "patch")
+
+    def _invalid_cond(self):
+        """Never-null boolean: row is malformed. op.isNull() is tested
+        before the isin so the disjunction can't evaluate to SQL null
+        (which a filter would silently treat as false)."""
+        key, order = self.sink.key, self.sink.order
+        return (
+            F.col(key).isNull()
+            | F.col(order).isNull()
+            | F.col("op").isNull()
+            | ~F.col("op").isin(*self._VALID_OPS)
+        )
+
+    def _quarantine_dir(self, batch_id: int) -> str:
+        root = getattr(self.sink, "root", None)
+        if root is None:
+            raise ValueError(
+                "quarantine=True but the sink has no .root to hold the "
+                "dead-letter table — invalid events would be silently "
+                "dropped"
+            )
+        return os.path.join(root, "_quarantine", f"batch={batch_id}")
 
     def bootstrap(self, base: DataFrame | None = None, version: int = 1) -> None:
         if not self.sink.exists():
@@ -218,10 +256,27 @@ class ReplayEngine:
         # huge batches don't (their cached in-merge stats pass is cheaper
         # than the upfront window). The plain probe (per-bucket counts,
         # no per-key work) is cheap at any size and always runs upfront.
-        want_stats = batch_size <= self.precompute_stats_max_batch
+        # quarantine rewrites batch contents (invalid rows diverted), which
+        # invalidates the verbatim-log assumption the analytic stats
+        # precompute rests on — mutually exclusive by contract
+        want_stats = (
+            batch_size <= self.precompute_stats_max_batch
+            and not self.quarantine
+        )
         probe_rows = self._upfront_probe_and_stats(
             events, start, batch_size, with_stats=want_stats
         )
+        # rows with _bid=null are null-delivery_seq events (quarantine mode
+        # only): they belong to no batch slot — dead-letter them once here
+        n_undeliverable = sum(
+            int(r["n"]) for r in probe_rows if r["_bid"] is None
+        )
+        probe_rows = [r for r in probe_rows if r["_bid"] is not None]
+        if n_undeliverable:
+            events.filter(F.col("delivery_seq").isNull()).write.mode(
+                "overwrite"
+            ).parquet(self._quarantine_dir(-1))
+            summary.quarantined += n_undeliverable
         probe_by_batch: dict[int, list] = {}
         any_patches = False
         for r in probe_rows:
@@ -248,6 +303,21 @@ class ReplayEngine:
             _t = time.time()
             probe = probe_by_batch.get(b, [])
             n_events = int(sum(r["n"] for r in probe))
+            inv_n = (
+                int(sum(r["inv"] or 0 for r in probe))
+                if self.quarantine else 0
+            )
+            if inv_n:
+                bad = self._invalid_cond()
+                # idempotent per-batch overwrite: a crash/retry of this
+                # batch rewrites the same dead-letter partition
+                batch.filter(bad).write.mode("overwrite").parquet(
+                    self._quarantine_dir(b)
+                )
+                batch = batch.filter(~bad)
+                n_events -= inv_n
+                summary.quarantined += inv_n
+            _t = _mark("quarantine", _t) if inv_n else _t
             pending_prev, pending_n = (None, 0)
             if patchable:
                 pending_prev, pending_n = self._read_pending()
@@ -373,7 +443,8 @@ class ReplayEngine:
                 if patchable:
                     self._write_empty_pending(b)
             secs = time.time() - t0
-            rec = {"batch_id": b, "events": n_events, "secs": secs}
+            rec = {"batch_id": b, "events": n_events, "secs": secs,
+                   "quarantined": inv_n}
             rec.update(stats or {"applied": 0, "deleted": 0, "stale": 0})
             summary.batches.append(rec)
             done += 1
@@ -405,11 +476,16 @@ class ReplayEngine:
 
         key, order = self.sink.key, self.sink.order
         bid = F.expr(f"CAST(delivery_seq DIV {int(batch_size)} AS INT)")
+        flt = F.col("delivery_seq") >= start * batch_size
+        if self.quarantine:
+            # null-delivery rows belong to NO batch slot; route them into
+            # the probe under _bid=null so replay() can dead-letter them
+            flt = flt | F.col("delivery_seq").isNull()
         if not with_stats:
             # probe-only: per-(batch, bucket) counts/version/patch-flag —
             # a tiny agg over the narrow scan, no per-key shuffle
             return (
-                events.filter(F.col("delivery_seq") >= start * batch_size)
+                events.filter(flt)
                 .groupBy(
                     bid.alias("_bid"),
                     self.sink.bucket_of(key).alias("bucket"),
@@ -418,6 +494,10 @@ class ReplayEngine:
                     F.count(F.lit(1)).alias("n"),
                     F.max("schema_version").alias("v"),
                     F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p"),
+                    F.sum(
+                        F.when(self._invalid_cond(), 1).otherwise(0)
+                        if self.quarantine else F.lit(None).cast("long")
+                    ).alias("inv"),
                     # keys never cross buckets, so summing per-bucket
                     # distinct-key estimates gives the batch's key count
                     # (sizes/gates the broadcast reduction). The HLL
@@ -432,7 +512,7 @@ class ReplayEngine:
                 .collect()
             )
         red_all = (
-            events.filter(F.col("delivery_seq") >= start * batch_size)
+            events.filter(flt)
             .groupBy(bid.alias("_bid"), F.col(key))
             .agg(
                 F.max(order).alias("_clsn"),

@@ -1,0 +1,114 @@
+"""Dead-letter quarantine: a corrupted stream replayed with
+quarantine=True must land the same final table as the clean stream
+alone, with every malformed row preserved in the quarantine table and
+counted in the summary."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+from opendataloader_pdf_spark.datagen import gen_change_events
+
+N_EVENTS, N_DOCS, BATCH = 4000, 400, 1000
+
+
+def _corrupt(spark, clean):
+    """Append malformed rows: null key, null lsn, unknown op, null
+    delivery_seq — each derived from a real row so payloads are
+    plausible."""
+    base = clean.limit(8).collect()
+    cols = clean.columns
+    bad_rows = []
+    for i, r in enumerate(base):
+        d = r.asDict()
+        d["lsn"] = d["lsn"] + 10_000_000 + i  # never collides with clean
+        d["delivery_seq"] = d["delivery_seq"] + 17
+        if i % 4 == 0:
+            d["doc_id"] = None
+        elif i % 4 == 1:
+            d["lsn"] = None
+        elif i % 4 == 2:
+            d["op"] = "upsert??"
+        else:
+            d["delivery_seq"] = None
+        bad_rows.append(tuple(d[c] for c in cols))
+    # a nullable twin of the event schema: malformed rows come from
+    # untrusted sources whose schema makes no non-null promises
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in clean.schema.fields]
+    )
+    bad = spark.createDataFrame(bad_rows, nullable)
+    return clean.unionByName(bad), 8
+
+
+def _final_state(spark, events, tmp, name, **engine_kw):
+    sink = ParquetMergeSink(spark, os.path.join(tmp, name), n_buckets=8)
+    sink.drop()
+    eng = ReplayEngine(spark, sink, **engine_kw)
+    eng.bootstrap(None)
+    summary = eng.replay(events, batch_size=BATCH)
+    rows = {
+        r["doc_id"]: (r["lsn"], tuple(r["tokens"] or []))
+        for r in sink.read().collect()
+    }
+    return rows, summary, sink
+
+
+@pytest.fixture(scope="module")
+def clean(spark):
+    return gen_change_events(spark, N_EVENTS, N_DOCS, seed=7).cache()
+
+
+def test_quarantine_matches_clean_replay(spark, clean, tmp_path):
+    dirty, n_bad = _corrupt(spark, clean)
+    want, _, _ = _final_state(spark, clean, str(tmp_path), "t_clean")
+    got, summary, sink = _final_state(
+        spark, dirty, str(tmp_path), "t_dirty", quarantine=True
+    )
+    assert got == want
+    assert summary.quarantined == n_bad
+    # every malformed row is preserved byte-for-byte in the dead-letter
+    # table (schema identical to the event log)
+    q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
+    assert q.count() == n_bad
+    assert set(q.columns) >= set(clean.columns)
+    assert q.filter(F.col("doc_id").isNull()).count() == 2
+    assert q.filter(F.col("op") == "upsert??").count() == 2
+
+
+def test_quarantine_off_is_unchanged(spark, clean, tmp_path):
+    # default path: no quarantine dir, no summary count
+    rows, summary, sink = _final_state(spark, clean, str(tmp_path), "t_off")
+    assert summary.quarantined == 0
+    assert not os.path.exists(os.path.join(sink.root, "_quarantine"))
+    assert all(b["quarantined"] == 0 for b in summary.batches)
+
+
+def test_quarantine_resume_idempotent(spark, clean, tmp_path):
+    from opendataloader_pdf_spark.cdc.engine import JobKilled
+
+    dirty, n_bad = _corrupt(spark, clean)
+    sink = ParquetMergeSink(spark, os.path.join(str(tmp_path), "t_resume"),
+                            n_buckets=8)
+    sink.drop()
+    eng = ReplayEngine(spark, sink, quarantine=True)
+    eng.bootstrap(None)
+    with pytest.raises(JobKilled):
+        eng.replay(dirty, batch_size=BATCH, fail_after=2)
+    eng2 = ReplayEngine(spark, sink, quarantine=True)
+    eng2.replay(dirty, batch_size=BATCH)
+    want, _, _ = _final_state(spark, clean, str(tmp_path), "t_resume_clean")
+    got = {
+        r["doc_id"]: (r["lsn"], tuple(r["tokens"] or []))
+        for r in sink.read().collect()
+    }
+    assert got == want
+    # per-batch overwrite keeps the dead-letter table exactly-once too
+    q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
+    assert q.count() == n_bad
