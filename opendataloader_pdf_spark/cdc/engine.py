@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from opendataloader_pdf_spark.cdc.events import (
+    invalid_event_cond,
     reduce_batch,
     reduce_batch_broadcast,
 )
@@ -158,19 +159,8 @@ class ReplayEngine:
         #: safe default.
         self.observe_stats = observe_stats
 
-    _VALID_OPS = ("insert", "update", "delete", "patch")
-
     def _invalid_cond(self):
-        """Never-null boolean: row is malformed. op.isNull() is tested
-        before the isin so the disjunction can't evaluate to SQL null
-        (which a filter would silently treat as false)."""
-        key, order = self.sink.key, self.sink.order
-        return (
-            F.col(key).isNull()
-            | F.col(order).isNull()
-            | F.col("op").isNull()
-            | ~F.col("op").isin(*self._VALID_OPS)
-        )
+        return invalid_event_cond(self.sink.key, self.sink.order)
 
     def _quarantine_dir(self, batch_id: int) -> str:
         root = getattr(self.sink, "root", None)

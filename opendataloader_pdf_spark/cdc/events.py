@@ -36,6 +36,23 @@ from pyspark.sql import functions as F
 #: columns that define the event payload applied to the base table
 PAYLOAD_COLS = ("op", "tokens", "n_tok", "source", "lang", "schema_version", "ts")
 
+#: the only ops the engine applies; anything else is malformed
+VALID_OPS = ("insert", "update", "delete", "patch")
+
+
+def invalid_event_cond(key: str, order: str):
+    """Never-null boolean: event row is malformed (null key/lsn/
+    delivery_seq, null or unknown op — the EVENT_SCHEMA non-null
+    contract). op.isNull() is tested before the isin so the disjunction
+    can't evaluate to SQL null, which a filter would silently drop."""
+    return (
+        F.col(key).isNull()
+        | F.col(order).isNull()
+        | F.col("delivery_seq").isNull()
+        | F.col("op").isNull()
+        | ~F.col("op").isin(*VALID_OPS)
+    )
+
 
 def dedup_events(events: DataFrame, use_window: bool = False) -> DataFrame:
     """Drop exact (doc_id, lsn) retransmissions, keeping one row.

@@ -52,6 +52,7 @@ def tail_available_now(
     event_schema: T.StructType = EVENT_SCHEMA,
     salted: bool = False,
     disorder_window: int | None = None,
+    quarantine: bool = False,
 ) -> list[int]:
     """Consume all currently-available files as micro-batches; returns the
     list of batch ids applied (empty on a fully caught-up resume).
@@ -74,6 +75,11 @@ def tail_available_now(
     )
 
     reg = registry or default_registry()
+    if quarantine and not getattr(sink, "root", None):
+        raise ValueError(
+            "quarantine=True but the sink has no .root to hold the "
+            "dead-letter table"
+        )
     applied: list[int] = []
     pending_store = (
         PendingStore(spark, os.path.join(sink.root, "_pending"), key=sink.key)
@@ -83,6 +89,20 @@ def tail_available_now(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         from pyspark.sql import functions as F
 
+        from opendataloader_pdf_spark.cdc.events import invalid_event_cond
+
+        if quarantine:
+            # dead-letter parity with ReplayEngine(quarantine=True): the
+            # per-epoch overwrite stays exactly-once under checkpoint
+            # replay of a failed epoch. The count probe costs one narrow
+            # agg; the split + write only run when bad rows exist.
+            bad = invalid_event_cond(sink.key, sink.order)
+            if batch_df.filter(bad).limit(1).count():
+                batch_df.filter(bad).write.mode("overwrite").parquet(
+                    os.path.join(sink.root, "_quarantine",
+                                 f"stream_batch={batch_id}")
+                )
+                batch_df = batch_df.filter(~bad)
         patchable = has_patch_columns(batch_df) and pending_store is not None
         pending_prev, pending_n = (
             pending_store.read() if patchable else (None, 0)

@@ -90,6 +90,26 @@ def test_quarantine_off_is_unchanged(spark, clean, tmp_path):
     assert all(b["quarantined"] == 0 for b in summary.batches)
 
 
+def test_streaming_tail_quarantine(spark, clean, tmp_path):
+    from opendataloader_pdf_spark.streaming import tail_available_now
+
+    dirty, n_bad = _corrupt(spark, clean)
+    ev_dir = str(tmp_path / "events")
+    dirty.repartition(6).write.mode("overwrite").parquet(ev_dir)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t_stream"), n_buckets=8)
+    ReplayEngine(spark, sink).bootstrap(None)
+    tail_available_now(spark, ev_dir, sink, str(tmp_path / "ckpt"),
+                       max_files_per_trigger=2, quarantine=True)
+    want, _, _ = _final_state(spark, clean, str(tmp_path), "t_stream_clean")
+    got = {
+        r["doc_id"]: (r["lsn"], tuple(r["tokens"] or []))
+        for r in sink.read().collect()
+    }
+    assert got == want
+    q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
+    assert q.count() == n_bad
+
+
 def test_quarantine_resume_idempotent(spark, clean, tmp_path):
     from opendataloader_pdf_spark.cdc.engine import JobKilled
 
