@@ -50,6 +50,10 @@ def main() -> None:
                    choices=["agg", "broadcast"],
                    help="batch reduction: one-shuffle agg (default) or "
                         "winner-fingerprint broadcast semi-join")
+    p.add_argument("--quarantine", action="store_true",
+                   help="divert malformed events (null key/lsn/op/"
+                        "delivery_seq, unknown op) to <table>/_quarantine "
+                        "instead of failing or silently applying them")
     p.add_argument("--bootstrap", default=None,
                    help="optional parquet path of the initial base table")
     p.add_argument("--gen-events", type=int, default=None,
@@ -86,7 +90,8 @@ def main() -> None:
     cls = MergeOnReadSink if a.mor else ParquetMergeSink
     sink = cls(spark, a.table, n_buckets=a.buckets)
     engine = ReplayEngine(spark, sink, salted=a.salted,
-                          reduce_strategy=a.reduce_strategy)
+                          reduce_strategy=a.reduce_strategy,
+                          quarantine=a.quarantine)
     base = spark.read.parquet(a.bootstrap) if a.bootstrap else None
     engine.bootstrap(base)
 
@@ -97,6 +102,7 @@ def main() -> None:
     print(json.dumps({
         "events": summary.events,
         "applied": summary.applied,
+        "quarantined": summary.quarantined,
         "batches": len(summary.batches),
         "secs": round(summary.elapsed, 3),
         "events_per_sec": round(summary.events / max(summary.elapsed, 1e-9), 1),
