@@ -188,11 +188,25 @@ class ReplayEngine:
         committed batch_id; kill/retry-safe. ``finalize=False`` skips the
         terminal pending-patch flush (use when the log will keep growing
         and be replayed again)."""
+        if self.quarantine and getattr(self.sink, "root", None) is None:
+            # fail before any batch commits, not mid-replay on the first
+            # invalid row (streaming tail applies the same eager check)
+            self._quarantine_dir(0)
         bounds = events.agg(
             F.min("delivery_seq").alias("lo"), F.max("delivery_seq").alias("hi")
         ).collect()[0]
         if bounds["hi"] is None:
-            return ReplaySummary()
+            summary = ReplaySummary()
+            if self.quarantine:
+                # a log whose every delivery_seq is null still gets its
+                # rows dead-lettered rather than silently skipped
+                n_null = events.filter(F.col("delivery_seq").isNull()).count()
+                if n_null:
+                    events.filter(F.col("delivery_seq").isNull()).write.mode(
+                        "overwrite"
+                    ).parquet(self._quarantine_dir(-1))
+                    summary.quarantined = n_null
+            return summary
         n_batches = int(bounds["hi"] // batch_size) + 1
 
         _timing = os.environ.get("SPARK_GRAFT_ENGINE_TIMING") == "1"
@@ -259,7 +273,7 @@ class ReplayEngine:
         # rows with _bid=null are null-delivery_seq events (quarantine mode
         # only): they belong to no batch slot — dead-letter them once here
         n_undeliverable = sum(
-            int(r["n"]) for r in probe_rows if r["_bid"] is None
+            int(r["inv"] or 0) for r in probe_rows if r["_bid"] is None
         )
         probe_rows = [r for r in probe_rows if r["_bid"] is not None]
         if n_undeliverable:
@@ -300,12 +314,12 @@ class ReplayEngine:
             if inv_n:
                 bad = self._invalid_cond()
                 # idempotent per-batch overwrite: a crash/retry of this
-                # batch rewrites the same dead-letter partition
+                # batch rewrites the same dead-letter partition. n_events
+                # already excludes these rows (the probe counts valid only).
                 batch.filter(bad).write.mode("overwrite").parquet(
                     self._quarantine_dir(b)
                 )
                 batch = batch.filter(~bad)
-                n_events -= inv_n
                 summary.quarantined += inv_n
             _t = _mark("quarantine", _t) if inv_n else _t
             pending_prev, pending_n = (None, 0)
@@ -313,14 +327,17 @@ class ReplayEngine:
                 pending_prev, pending_n = self._read_pending()
             _t = _mark("pending-read", _t)
             if n_events or pending_n:
-                if probe:
-                    target_schema = self.registry[max(int(r["v"]) for r in probe)]
+                vers = [int(r["v"]) for r in probe if r["v"] is not None]
+                if vers:
+                    target_schema = self.registry[max(vers)]
                 else:
                     # zero events, pending only: stay on the sink's current
                     # schema — evolving to max(registry) would add columns
                     # no arrived event carries yet
                     target_schema = self.sink.current_schema()
-                affected = sorted(r["bucket"] for r in probe)
+                # buckets whose probe rows hold only quarantined events
+                # carry no change — keep them out of the merge scope
+                affected = sorted(r["bucket"] for r in probe if r["n"])
                 batch_has_patches = patchable and any(
                     r["p"] for r in probe if "p" in r.asDict()
                 )
@@ -473,7 +490,13 @@ class ReplayEngine:
             flt = flt | F.col("delivery_seq").isNull()
         if not with_stats:
             # probe-only: per-(batch, bucket) counts/version/patch-flag —
-            # a tiny agg over the narrow scan, no per-key shuffle
+            # a tiny agg over the narrow scan, no per-key shuffle.
+            # Quarantine mode: EVERY decision aggregate (count, target
+            # schema version, patch flag, key estimate) is computed over
+            # VALID rows only — a malformed row must not drive schema
+            # evolution or route a batch through the patch path; it only
+            # feeds the `inv` diversion count.
+            ok = ~self._invalid_cond() if self.quarantine else F.lit(True)
             return (
                 events.filter(flt)
                 .groupBy(
@@ -481,11 +504,13 @@ class ReplayEngine:
                     self.sink.bucket_of(key).alias("bucket"),
                 )
                 .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.max("schema_version").alias("v"),
-                    F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p"),
+                    F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
+                    F.max(F.when(ok, F.col("schema_version"))).alias("v"),
+                    F.max(
+                        F.when(ok & (F.col("op") == "patch"), 1).otherwise(0)
+                    ).alias("p"),
                     F.sum(
-                        F.when(self._invalid_cond(), 1).otherwise(0)
+                        F.when(~ok, 1).otherwise(0)
                         if self.quarantine else F.lit(None).cast("long")
                     ).alias("inv"),
                     # keys never cross buckets, so summing per-bucket
@@ -494,7 +519,7 @@ class ReplayEngine:
                     # costs a per-row hash — only pay it when the
                     # broadcast strategy is on.
                     (
-                        F.approx_count_distinct(key)
+                        F.approx_count_distinct(F.when(ok, F.col(key)))
                         if self.reduce_strategy == "broadcast"
                         else F.lit(None).cast("long")
                     ).alias("k"),

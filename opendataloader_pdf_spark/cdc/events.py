@@ -41,14 +41,17 @@ VALID_OPS = ("insert", "update", "delete", "patch")
 
 
 def invalid_event_cond(key: str, order: str):
-    """Never-null boolean: event row is malformed (null key/lsn/
-    delivery_seq, null or unknown op — the EVENT_SCHEMA non-null
-    contract). op.isNull() is tested before the isin so the disjunction
-    can't evaluate to SQL null, which a filter would silently drop."""
+    """Never-null boolean: event row is malformed — the full EVENT_SCHEMA
+    non-null contract (key, lsn, delivery_seq, schema_version) plus a
+    known op. op.isNull() is tested before the isin so the disjunction
+    can't evaluate to SQL null, which a filter would silently drop.
+    (``ts`` is also non-null by schema but is informational only — the
+    engine never branches on it, so a null ts isn't worth diverting.)"""
     return (
         F.col(key).isNull()
         | F.col(order).isNull()
         | F.col("delivery_seq").isNull()
+        | F.col("schema_version").isNull()
         | F.col("op").isNull()
         | ~F.col("op").isin(*VALID_OPS)
     )

@@ -334,8 +334,14 @@ def minhash_lsh_candidates_incremental(
     The band join stays an equi-join on (band, bh), and the
     at-least-one-new predicate lands as a cheap post-join filter on two
     boolean columns. ``max_bucket`` caps COMBINED bucket size, matching
-    what a from-scratch run over corpus+batch would see."""
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k, seed)
+    what a from-scratch run over corpus+batch would see.
+
+    Caching contract (same as minhash_lsh_candidates): the new batch's
+    signatures are cached — they feed BOTH self-join sides plus the
+    returned frame the caller appends to the index; without the cache the
+    shingle+k-lane aggregation would run 3x. Long-lived sessions should
+    spark.catalog.clearCache() between unrelated calls."""
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k, seed).cache()
     tagged = index_sig.select("id", "sig", F.lit(False).alias("is_new")).unionByName(
         new_sig.select("id", "sig", F.lit(True).alias("is_new"))
     )

@@ -104,15 +104,35 @@ def connected_components(
     the alternating-star bound is O(log² n), so 30 covers any feasible
     input and a non-convergence signals a bug, not a big graph.
     """
+    # localCheckpoint blocks are NOT released by DataFrame.unpersist (the
+    # storage belongs to the internal checkpointed RDD, reaped only when
+    # the driver GCs the object) — without explicit release the loop
+    # holds O(rounds x |E|) executor storage. Track the RDD ids each
+    # checkpoint registers and free the previous round's once the new one
+    # is materialized. Assumes this driver loop is the only thing
+    # persisting RDDs on the context during the call (true for a driver
+    # program; document-level concurrency would need scoping).
+    jsc = pairs.sparkSession.sparkContext._jsc.sc()
+
+    def _persisted() -> set[int]:
+        return {i.id() for i in jsc.getRDDStorageInfo()}
+
+    pre = _persisted()
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    owned = _persisted() - pre
     fp = _fingerprint(edges)
     for _ in range(max_iter):
+        pre = _persisted()
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        fresh = _persisted() - pre
+        for rid in owned:
+            jsc.unpersistRDD(rid, False)
+        owned = fresh
         nfp = _fingerprint(edges)
         if nfp == fp:
             break

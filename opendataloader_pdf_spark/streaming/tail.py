@@ -91,31 +91,39 @@ def tail_available_now(
 
         from opendataloader_pdf_spark.cdc.events import invalid_event_cond
 
-        if quarantine:
-            # dead-letter parity with ReplayEngine(quarantine=True): the
-            # per-epoch overwrite stays exactly-once under checkpoint
-            # replay of a failed epoch. The count probe costs one narrow
-            # agg; the split + write only run when bad rows exist.
-            bad = invalid_event_cond(sink.key, sink.order)
-            if batch_df.filter(bad).limit(1).count():
-                batch_df.filter(bad).write.mode("overwrite").parquet(
-                    os.path.join(sink.root, "_quarantine",
-                                 f"stream_batch={batch_id}")
-                )
-                batch_df = batch_df.filter(~bad)
         patchable = has_patch_columns(batch_df) and pending_store is not None
         pending_prev, pending_n = (
             pending_store.read() if patchable else (None, 0)
         )
-        probe_aggs = [F.count(F.lit(1)).alias("n"),
-                      F.max("schema_version").alias("v")]
+        # dead-letter parity with ReplayEngine(quarantine=True): the
+        # invalid count rides the existing probe aggregate (valid-only
+        # decision columns, same contract as the batch engine — clean
+        # epochs pay one extra aggregate column, nothing else); the split
+        # + per-epoch overwrite only run when bad rows exist, which keeps
+        # the write exactly-once under checkpoint replay of a failed epoch.
+        ok = (
+            ~invalid_event_cond(sink.key, sink.order)
+            if quarantine else F.lit(True)
+        )
+        probe_aggs = [F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
+                      F.max(F.when(ok, F.col("schema_version"))).alias("v"),
+                      F.sum(F.when(~ok, 1).otherwise(0)).alias("inv")]
         if patchable:
             probe_aggs.append(
-                F.max(F.when(F.col("op") == "patch", 1).otherwise(0)).alias("p")
+                F.max(
+                    F.when(ok & (F.col("op") == "patch"), 1).otherwise(0)
+                ).alias("p")
             )
             if disorder_window is not None:
-                probe_aggs.append(F.max("delivery_seq").alias("d"))
+                probe_aggs.append(F.max(F.when(ok, F.col("delivery_seq"))).alias("d"))
         row = batch_df.agg(*probe_aggs).collect()[0]
+        if quarantine and row["inv"]:
+            bad = invalid_event_cond(sink.key, sink.order)
+            batch_df.filter(bad).write.mode("overwrite").parquet(
+                os.path.join(sink.root, "_quarantine",
+                             f"stream_batch={batch_id}")
+            )
+            batch_df = batch_df.filter(~bad)
         if not row["n"] and not pending_n:
             return
         # empty batch with pending only: stay on the sink's current schema

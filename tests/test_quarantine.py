@@ -18,23 +18,26 @@ N_EVENTS, N_DOCS, BATCH = 4000, 400, 1000
 
 def _corrupt(spark, clean):
     """Append malformed rows: null key, null lsn, unknown op, null
-    delivery_seq — each derived from a real row so payloads are
-    plausible."""
-    base = clean.limit(8).collect()
+    delivery_seq, null schema_version — each derived from a real row so
+    payloads are plausible."""
+    base = clean.limit(10).collect()
     cols = clean.columns
     bad_rows = []
     for i, r in enumerate(base):
         d = r.asDict()
         d["lsn"] = d["lsn"] + 10_000_000 + i  # never collides with clean
         d["delivery_seq"] = d["delivery_seq"] + 17
-        if i % 4 == 0:
+        if i % 5 == 0:
             d["doc_id"] = None
-        elif i % 4 == 1:
+        elif i % 5 == 1:
             d["lsn"] = None
-        elif i % 4 == 2:
+        elif i % 5 == 2:
             d["op"] = "upsert??"
-        else:
+        elif i % 5 == 3:
             d["delivery_seq"] = None
+        else:
+            # a malformed row must not drive schema evolution either
+            d["schema_version"] = None
         bad_rows.append(tuple(d[c] for c in cols))
     # a nullable twin of the event schema: malformed rows come from
     # untrusted sources whose schema makes no non-null promises
@@ -44,7 +47,7 @@ def _corrupt(spark, clean):
         [T.StructField(f.name, f.dataType, True) for f in clean.schema.fields]
     )
     bad = spark.createDataFrame(bad_rows, nullable)
-    return clean.unionByName(bad), 8
+    return clean.unionByName(bad), 10
 
 
 def _final_state(spark, events, tmp, name, **engine_kw):
