@@ -65,6 +65,56 @@ def text_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents whose n-gram
+    shingle set overlaps ANY benchmark document's shingle pool by ≥
+    ``threshold`` of the document's own shingles — the standard guard
+    against eval data leaking into a training corpus.
+
+    Returns (id, n_sh, n_hit, frac, contaminated) for every corpus doc.
+
+    Scale shape: the benchmark is the SMALL side (eval suites are
+    thousands of docs vs a 100 TB corpus), so its distinct shingle-hash
+    pool is broadcast and the corpus side is one narrow scan — explode →
+    broadcast-hash semi-match → groupBy(id) count, all map-side
+    combinable, no corpus shuffle by shingle. Overlap is measured
+    against the POOLED benchmark shingle set (union of all benchmark
+    docs), the conservative standard for decontamination — a doc
+    stitched from several eval items still trips the threshold."""
+    pool = (
+        benchmark.select(
+            F.explode(
+                F.transform(text_shingles(F.col(text_col), n),
+                            lambda s: F.xxhash64(s))
+            ).alias("sh")
+        ).distinct()
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.transform(text_shingles(F.col(text_col), n),
+                        lambda s: F.xxhash64(s))
+        ).alias("sh"),
+    )
+    hits = sh.join(F.broadcast(pool.withColumn("_hit", F.lit(1))), "sh", "left")
+    out = hits.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
+    )
+    return out.select(
+        "id", "n_sh", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_sh"), 6).alias("frac"),
+        (F.col("n_hit") / F.col("n_sh") >= threshold).alias("contaminated"),
+    )
+
+
 # ------------------------------------------------------- n-gram Jaccard
 
 def ngram_jaccard_pairs(

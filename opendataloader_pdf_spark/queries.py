@@ -1005,6 +1005,42 @@ def p1_corpus_pipeline(spark, sf_dir):
 
 
 @register(
+    "decontaminate",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_distinct([array_to_string(arr[i:i+2], ' ')
+                                   for i in range(1, greatest(len(arr)-2, 1)+1)])) AS sh
+      FROM w
+    ), pool AS (
+      SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0
+    ), hits AS (
+      SELECT d.doc_id, count(*) AS n_sh,
+             sum(CASE WHEN p.sh IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hit
+      FROM sh d LEFT JOIN pool p ON p.sh = d.sh
+      GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_sh, n_hit, round(n_hit / n_sh, 6) AS frac,
+           (n_hit / n_sh >= 0.5) AS contaminated
+    FROM hits
+    """,
+    doc="Benchmark decontamination: per-doc overlap fraction against the "
+        "pooled shingle set of an eval suite (stand-in: every 97th doc). "
+        "Benchmark pool is the broadcast small side — corpus side is one "
+        "narrow scan + map-side-combinable count, no corpus shuffle by "
+        "shingle.",
+)
+def decontaminate_q(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    out = S.decontaminate(d, bench, "doc_id", "text", n=3, threshold=0.5)
+    return out.withColumnRenamed("id", "doc_id")
+
+
+@register(
     "vocab_stats",
     """
     WITH w AS (
