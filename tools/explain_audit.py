@@ -55,6 +55,7 @@ AUDITED = [
     "split_assign",
     "minhash_incremental",
     "p1_corpus_pipeline",
+    "decontaminate",
 ]
 
 
