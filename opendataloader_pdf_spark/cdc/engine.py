@@ -109,8 +109,12 @@ class ReplayEngine:
         #: overwrite, so crash/retry can't duplicate them), counted in the
         #: per-batch summary, and excluded from every reduce/merge — the
         #: quarantine write job only runs for batches the upfront probe
-        #: says actually contain invalid rows, so clean streams pay one
-        #: extra probe aggregate and nothing else.
+        #: says actually contain invalid rows, so a clean stream's
+        #: per-batch cost is one extra probe aggregate. Quarantine also
+        #: disables the small-batch analytic stats precompute by contract
+        #: (its window assumes the log applies verbatim), so small-batch
+        #: replays fall back to the cached in-merge stats pass — the one
+        #: real cost of defensive mode on a clean stream.
         self.quarantine = quarantine
         #: batch-size gate for the delta-merge fast path: its survivors
         #: anti-join broadcasts the batch's winner KEYS (≤ distinct keys ≤
@@ -192,20 +196,27 @@ class ReplayEngine:
             # fail before any batch commits, not mid-replay on the first
             # invalid row (streaming tail applies the same eager check)
             self._quarantine_dir(0)
-        bounds = events.agg(
+        # quarantine mode: a malformed row must not size the batch loop
+        # either — one corrupt delivery_seq of 10^15 would otherwise make
+        # n_batches astronomical and replay commit empty slots forever
+        bounded = (
+            events.filter(~self._invalid_cond()) if self.quarantine else events
+        )
+        bounds = bounded.agg(
             F.min("delivery_seq").alias("lo"), F.max("delivery_seq").alias("hi")
         ).collect()[0]
         if bounds["hi"] is None:
             summary = ReplaySummary()
             if self.quarantine:
-                # a log whose every delivery_seq is null still gets its
-                # rows dead-lettered rather than silently skipped
-                n_null = events.filter(F.col("delivery_seq").isNull()).count()
-                if n_null:
-                    events.filter(F.col("delivery_seq").isNull()).write.mode(
-                        "overwrite"
-                    ).parquet(self._quarantine_dir(-1))
-                    summary.quarantined = n_null
+                # no valid event exists — dead-letter every malformed row
+                # (the whole log, if nonempty) rather than silently skip
+                bad = events.filter(self._invalid_cond())
+                n_bad = bad.count()
+                if n_bad:
+                    bad.write.mode("overwrite").parquet(
+                        self._quarantine_dir(-1)
+                    )
+                    summary.quarantined = n_bad
             return summary
         n_batches = int(bounds["hi"] // batch_size) + 1
 

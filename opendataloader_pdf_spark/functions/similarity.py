@@ -65,6 +65,13 @@ def text_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(acc)
 
 
+def shingle_hashes(col: Column, n: int = 3) -> Column:
+    """array<long> of xxhash64'd word n-gram shingles — the 8-byte wire
+    form every shingle-keyed operator in this module shuffles/joins on
+    (single definition: the hashing contract lives here)."""
+    return F.transform(text_shingles(col, n), lambda s: F.xxhash64(s))
+
+
 def decontaminate(
     docs: DataFrame,
     benchmark: DataFrame,
@@ -78,7 +85,10 @@ def decontaminate(
     ``threshold`` of the document's own shingles — the standard guard
     against eval data leaking into a training corpus.
 
-    Returns (id, n_sh, n_hit, frac, contaminated) for every corpus doc.
+    Returns (id, n_sh, n_hit, frac, contaminated) for EVERY corpus doc:
+    a doc with null/empty text gets n_sh=0, frac=0.0, contaminated=false
+    (explode_outer — shingle-less docs must not silently vanish from a
+    keep/drop join downstream).
 
     Scale shape: the benchmark is the SMALL side (eval suites are
     thousands of docs vs a 100 TB corpus), so its distinct shingle-hash
@@ -90,28 +100,25 @@ def decontaminate(
     stitched from several eval items still trips the threshold."""
     pool = (
         benchmark.select(
-            F.explode(
-                F.transform(text_shingles(F.col(text_col), n),
-                            lambda s: F.xxhash64(s))
-            ).alias("sh")
+            F.explode(shingle_hashes(F.col(text_col), n)).alias("sh")
         ).distinct()
     )
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(text_shingles(F.col(text_col), n),
-                        lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        F.explode_outer(shingle_hashes(F.col(text_col), n)).alias("sh"),
     )
     hits = sh.join(F.broadcast(pool.withColumn("_hit", F.lit(1))), "sh", "left")
     out = hits.groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
+        F.sum(F.when(F.col("sh").isNotNull(), 1).otherwise(0)).alias("n_sh"),
         F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
     )
+    raw = F.when(
+        F.col("n_sh") > 0, F.col("n_hit") / F.col("n_sh")
+    ).otherwise(F.lit(0.0))
     return out.select(
         "id", "n_sh", "n_hit",
-        F.round(F.col("n_hit") / F.col("n_sh"), 6).alias("frac"),
-        (F.col("n_hit") / F.col("n_sh") >= threshold).alias("contaminated"),
+        F.round(raw, 6).alias("frac"),
+        (raw >= threshold).alias("contaminated"),
     )
 
 

@@ -107,31 +107,34 @@ def connected_components(
     # localCheckpoint blocks are NOT released by DataFrame.unpersist (the
     # storage belongs to the internal checkpointed RDD, reaped only when
     # the driver GCs the object) — without explicit release the loop
-    # holds O(rounds x |E|) executor storage. Track the RDD ids each
-    # checkpoint registers and free the previous round's once the new one
-    # is materialized. Assumes this driver loop is the only thing
-    # persisting RDDs on the context during the call (true for a driver
-    # program; document-level concurrency would need scoping).
+    # holds O(rounds x |E|) executor storage. Each checkpointed frame's
+    # plan is a LogicalRDD wrapping exactly OUR checkpoint RDD, so its id
+    # is read straight off the plan and only that id is ever released —
+    # caller-owned caches that happen to materialize during our jobs are
+    # untouched. The final round's checkpoint stays live (the returned
+    # DataFrame reads it).
     jsc = pairs.sparkSession.sparkContext._jsc.sc()
 
-    def _persisted() -> set[int]:
-        return {i.id() for i in jsc.getRDDStorageInfo()}
+    def _ckpt_rdd_id(df: DataFrame) -> int | None:
+        plan = df._jdf.queryExecution().analyzed()
+        try:
+            return int(plan.rdd().id())
+        except Exception:
+            return None  # unexpected plan shape: skip release, stay safe
 
-    pre = _persisted()
     edges = (
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    owned = _persisted() - pre
+    owned = _ckpt_rdd_id(edges)
     fp = _fingerprint(edges)
     for _ in range(max_iter):
-        pre = _persisted()
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
-        fresh = _persisted() - pre
-        for rid in owned:
-            jsc.unpersistRDD(rid, False)
+        fresh = _ckpt_rdd_id(edges)
+        if owned is not None:
+            jsc.unpersistRDD(owned, False)
         owned = fresh
         nfp = _fingerprint(edges)
         if nfp == fp:

@@ -1023,9 +1023,14 @@ def p1_corpus_pipeline(spark, sf_dir):
       FROM sh d LEFT JOIN pool p ON p.sh = d.sh
       GROUP BY d.doc_id
     )
-    SELECT doc_id, n_sh, n_hit, round(n_hit / n_sh, 6) AS frac,
-           (n_hit / n_sh >= 0.5) AS contaminated
-    FROM hits
+    -- every corpus doc gets a row: shingle-less (null-text) docs emit
+    -- n_sh=0 / frac=0 / contaminated=false, mirroring explode_outer
+    SELECT doc.doc_id,
+           coalesce(h.n_sh, 0) AS n_sh,
+           coalesce(h.n_hit, 0) AS n_hit,
+           round(coalesce(h.n_hit / h.n_sh, 0.0), 6) AS frac,
+           coalesce(h.n_hit / h.n_sh >= 0.5, false) AS contaminated
+    FROM documents doc LEFT JOIN hits h ON h.doc_id = doc.doc_id
     """,
     doc="Benchmark decontamination: per-doc overlap fraction against the "
         "pooled shingle set of an eval suite (stand-in: every 97th doc). "

@@ -101,27 +101,31 @@ def tail_available_now(
         # epochs pay one extra aggregate column, nothing else); the split
         # + per-epoch overwrite only run when bad rows exist, which keeps
         # the write exactly-once under checkpoint replay of a failed epoch.
-        ok = (
+        valid = (
             ~invalid_event_cond(sink.key, sink.order)
             if quarantine else F.lit(True)
         )
-        probe_aggs = [F.sum(F.when(ok, 1).otherwise(0)).alias("n"),
-                      F.max(F.when(ok, F.col("schema_version"))).alias("v"),
-                      F.sum(F.when(~ok, 1).otherwise(0)).alias("inv")]
+        probe_aggs = [F.sum(F.when(valid, 1).otherwise(0)).alias("n"),
+                      F.max(F.when(valid, F.col("schema_version"))).alias("v"),
+                      F.sum(F.when(~valid, 1).otherwise(0)).alias("inv")]
         if patchable:
             probe_aggs.append(
                 F.max(
-                    F.when(ok & (F.col("op") == "patch"), 1).otherwise(0)
+                    F.when(valid & (F.col("op") == "patch"), 1).otherwise(0)
                 ).alias("p")
             )
             if disorder_window is not None:
-                probe_aggs.append(F.max(F.when(ok, F.col("delivery_seq"))).alias("d"))
+                probe_aggs.append(F.max(F.when(valid, F.col("delivery_seq"))).alias("d"))
         row = batch_df.agg(*probe_aggs).collect()[0]
         if quarantine and row["inv"]:
             bad = invalid_event_cond(sink.key, sink.order)
+            # same `batch=` partition column as the batch engine (one
+            # readable dead-letter table on a shared sink); the `s` value
+            # prefix keeps streaming epoch ids from colliding with batch
+            # replay slot ids
             batch_df.filter(bad).write.mode("overwrite").parquet(
                 os.path.join(sink.root, "_quarantine",
-                             f"stream_batch={batch_id}")
+                             f"batch=s{batch_id}")
             )
             batch_df = batch_df.filter(~bad)
         if not row["n"] and not pending_n:

@@ -27,10 +27,11 @@ def test_decontaminate_semantics(spark):
     assert out[3]["n_hit"] == 0 and not out[3]["contaminated"]
 
 
-def test_decontaminate_short_docs(spark):
-    # sub-n-gram documents produce one shingle and still get a row
+def test_decontaminate_short_and_null_docs(spark):
+    # sub-n-gram documents produce one shingle and still get a row;
+    # null-text docs must surface as clean n_sh=0 rows, never vanish
     docs = spark.createDataFrame(
-        [(1, "hello"), (2, "hello"), (3, "two words")],
+        [(1, "hello"), (2, "hello"), (3, "two words"), (4, None)],
         "doc_id: long, text: string",
     )
     bench = docs.filter("doc_id = 1")
@@ -40,3 +41,5 @@ def test_decontaminate_short_docs(spark):
     }
     assert out[2]["frac"] == 1.0
     assert out[3]["n_hit"] == 0 and out[3]["n_sh"] == 1
+    assert out[4]["n_sh"] == 0 and out[4]["frac"] == 0.0
+    assert not out[4]["contaminated"]

@@ -113,6 +113,30 @@ def test_streaming_tail_quarantine(spark, clean, tmp_path):
     assert q.count() == n_bad
 
 
+def test_batch_and_stream_share_one_deadletter_table(spark, clean, tmp_path):
+    # bootstrap-replay a dirty log, then tail MORE dirty files into the
+    # SAME sink: the combined _quarantine dir must read back as ONE
+    # partitioned table (shared `batch=` column; stream epochs prefixed)
+    from opendataloader_pdf_spark.streaming import tail_available_now
+
+    dirty, n_bad = _corrupt(spark, clean)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t_both"), n_buckets=8)
+    eng = ReplayEngine(spark, sink, quarantine=True)
+    eng.bootstrap(None)
+    eng.replay(dirty, batch_size=BATCH)
+
+    more = gen_change_events(spark, 2000, 200, seed=13)
+    more_dirty, n_bad2 = _corrupt(spark, more)
+    ev_dir = str(tmp_path / "events2")
+    more_dirty.repartition(3).write.mode("overwrite").parquet(ev_dir)
+    tail_available_now(spark, ev_dir, sink, str(tmp_path / "ckpt2"),
+                       max_files_per_trigger=2, quarantine=True)
+
+    q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
+    assert q.count() == n_bad + n_bad2
+    assert "batch" in q.columns
+
+
 def test_quarantine_resume_idempotent(spark, clean, tmp_path):
     from opendataloader_pdf_spark.cdc.engine import JobKilled
 
