@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "minhash_lsh_dedup",
     "dedup_components",
+    "decontaminate",
     "cosine_topk",
     "o2_xy_cut_order",
     "p0_full_assembly",
