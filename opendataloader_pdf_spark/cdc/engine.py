@@ -109,12 +109,12 @@ class ReplayEngine:
         #: overwrite, so crash/retry can't duplicate them), counted in the
         #: per-batch summary, and excluded from every reduce/merge — the
         #: quarantine write job only runs for batches the upfront probe
-        #: says actually contain invalid rows, so a clean stream's
-        #: per-batch cost is one extra probe aggregate. Quarantine also
-        #: disables the small-batch analytic stats precompute by contract
-        #: (its window assumes the log applies verbatim), so small-batch
-        #: replays fall back to the cached in-merge stats pass — the one
-        #: real cost of defensive mode on a clean stream.
+        #: says actually contain invalid rows. Clean-stream cost: one
+        #: extra probe aggregate column (large-batch mode), or one extra
+        #: narrow scan of invalid rows — near-empty by definition — when
+        #: the small-batch stats precompute owns the main probe (whose
+        #: per-key window excludes invalid rows, exactly matching the
+        #: filtered batches the merge actually applies).
         self.quarantine = quarantine
         #: batch-size gate for the delta-merge fast path: its survivors
         #: anti-join broadcasts the batch's winner KEYS (≤ distinct keys ≤
@@ -271,21 +271,32 @@ class ReplayEngine:
         # huge batches don't (their cached in-merge stats pass is cheaper
         # than the upfront window). The plain probe (per-bucket counts,
         # no per-key work) is cheap at any size and always runs upfront.
-        # quarantine rewrites batch contents (invalid rows diverted), which
-        # invalidates the verbatim-log assumption the analytic stats
-        # precompute rests on — mutually exclusive by contract
-        want_stats = (
-            batch_size <= self.precompute_stats_max_batch
-            and not self.quarantine
-        )
+        want_stats = batch_size <= self.precompute_stats_max_batch
         probe_rows = self._upfront_probe_and_stats(
             events, start, batch_size, with_stats=want_stats
         )
-        # rows with _bid=null are null-delivery_seq events (quarantine mode
-        # only): they belong to no batch slot — dead-letter them once here
-        n_undeliverable = sum(
-            int(r["inv"] or 0) for r in probe_rows if r["_bid"] is None
-        )
+        # Quarantine bookkeeping (per-batch invalid counts + the
+        # null-delivery rows that belong to NO batch slot):
+        #   probe-only mode — the counts ride the probe itself as its
+        #     `inv` column (one free aggregate);
+        #   stats mode — the per-key window excludes invalid rows (the
+        #     stats must describe the FILTERED batches), so the counts
+        #     come from one extra narrow scan of invalid rows only.
+        inv_by_batch: dict[int, int] = {}
+        n_undeliverable = 0
+        if self.quarantine:
+            inv_rows = (
+                self._quarantine_probe(events, start, batch_size)
+                if want_stats else probe_rows
+            )
+            for r in inv_rows:
+                iv = int(r["inv"] or 0)
+                if r["_bid"] is None:
+                    n_undeliverable += iv
+                else:
+                    inv_by_batch[int(r["_bid"])] = (
+                        inv_by_batch.get(int(r["_bid"]), 0) + iv
+                    )
         probe_rows = [r for r in probe_rows if r["_bid"] is not None]
         if n_undeliverable:
             events.filter(F.col("delivery_seq").isNull()).write.mode(
@@ -318,10 +329,7 @@ class ReplayEngine:
             _t = time.time()
             probe = probe_by_batch.get(b, [])
             n_events = int(sum(r["n"] for r in probe))
-            inv_n = (
-                int(sum(r["inv"] or 0 for r in probe))
-                if self.quarantine else 0
-            )
+            inv_n = inv_by_batch.get(b, 0)
             if inv_n:
                 bad = self._invalid_cond()
                 # idempotent per-batch overwrite: a crash/retry of this
@@ -474,6 +482,24 @@ class ReplayEngine:
             self.flush_pending(events, n_batches)
         return summary
 
+    def _quarantine_probe(self, events: DataFrame, start: int,
+                          batch_size: int) -> list:
+        """Per-batch malformed-row counts (plus a _bid=null row for
+        null-delivery events) — one narrow scan over INVALID rows only,
+        used when the stats precompute owns the main probe (its window
+        excludes invalid rows, so it can't carry these counts)."""
+        bid = F.expr(f"CAST(delivery_seq DIV {int(batch_size)} AS INT)")
+        return (
+            events.filter(self._invalid_cond())
+            .filter(
+                (F.col("delivery_seq") >= start * batch_size)
+                | F.col("delivery_seq").isNull()
+            )
+            .groupBy(bid.alias("_bid"))
+            .agg(F.count(F.lit(1)).alias("inv"))
+            .collect()
+        )
+
     def _upfront_probe_and_stats(self, events: DataFrame, start: int,
                                  batch_size: int,
                                  with_stats: bool = True) -> list:
@@ -537,8 +563,15 @@ class ReplayEngine:
                 )
                 .collect()
             )
+        stats_src = events.filter(flt)
+        if self.quarantine:
+            # the stats window must describe the FILTERED batches: invalid
+            # rows never reach the reduce/merge, so they must not
+            # contribute wins/losses or running-max lsn state here either
+            # (their counts come from _quarantine_probe instead)
+            stats_src = stats_src.filter(~self._invalid_cond())
         red_all = (
-            events.filter(flt)
+            stats_src
             .groupBy(bid.alias("_bid"), F.col(key))
             .agg(
                 F.max(order).alias("_clsn"),
