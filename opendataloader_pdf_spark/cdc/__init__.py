@@ -21,4 +21,11 @@ from opendataloader_pdf_spark.cdc.maintenance import (  # noqa: F401
     read_at,
     remove_orphans,
     retained_snapshots,
+    schema_at,
+)
+from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
+    apply_changes,
+    changed_buckets,
+    changes_between,
+    commits_between,
 )

@@ -1,0 +1,224 @@
+"""Incremental changelog reads — the CDF / Iceberg-incremental-scan
+analog over the sink's snapshot log.
+
+``changes_between(sink, a, b)`` returns the NET row-level changes between
+two retained snapshots: what a downstream consumer must apply to move a
+replica from state-at-a to state-at-b (insert / update / delete per key).
+This is what Iceberg's incremental append scan + Delta's Change Data
+Feed provide; here it is *derived* from the snapshots themselves, so it
+needs no extra write-path bookkeeping and is exact even across
+compaction or schema evolution.
+
+Reference parity: the reference's incremental story is the golden-rerun
+diff (IntegrationTest.java:42-52 — rerun, diff outputs); this module is
+that diff as a first-class, bucket-pruned operator.
+
+Scale notes (the 100 TB contract):
+
+* **bucket-pruned** — only buckets whose manifest path CHANGED between
+  the two snapshots are read, on both sides. A batch touching 1 % of
+  keys ⇒ the diff scans ~2 × 1 % of the table, never the whole table.
+  The changed-bucket set comes from the two manifests on the driver —
+  no file listing, no data scan.
+* **one shuffle** — both sides are read only for the changed buckets and
+  joined full-outer on the key; everything else is column-level
+  comparison inside the join's task. With n_buckets == shuffle
+  partitions the two sides are already hash-aligned (storage.bucket_of
+  == Spark's own hashpartitioning), so AQE can plan the join without a
+  second exchange.
+* **LSN-driven classification, no payload compare** — copy-on-write
+  rewrites whole buckets, so most rows in a changed bucket are
+  byte-identical; they are dropped by the ``lsn`` equality test alone
+  (the engine's invariant: a row's lsn strictly increases on every
+  applied change, and only on applied changes). Token arrays are never
+  compared, so the wide columns stream through untouched.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from opendataloader_pdf_spark.cdc.maintenance import _manifest_at
+from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
+
+#: change-type values, Delta-CDF-style (net changes, post-image rows;
+#: deletes carry the pre-image — the tombstone's payload is the delete
+#: event's, not the last visible row's)
+INSERT, UPDATE, DELETE = "insert", "update", "delete"
+
+
+def _pinned(sink: ParquetMergeSink, snapshot_id: int) -> ParquetMergeSink:
+    """Snapshot-pinned shallow view of the sink (same trick as
+    maintenance.read_at, but returning the sink so callers can use
+    bucket-pruned reads)."""
+    m = _manifest_at(sink, snapshot_id)
+
+    class _Pinned(type(sink)):
+        def manifest(self) -> dict:  # noqa: D102
+            return m
+
+    pinned = object.__new__(_Pinned)
+    pinned.__dict__.update(sink.__dict__)
+    return pinned
+
+
+def changed_buckets(sink: ParquetMergeSink, from_snapshot: int,
+                    to_snapshot: int) -> list[int]:
+    """Buckets whose data path differs between the two manifests — the
+    only buckets that can contain row changes. Driver-side metadata only."""
+    ma = _manifest_at(sink, from_snapshot)["buckets"]
+    mb = _manifest_at(sink, to_snapshot)["buckets"]
+
+    def ident(ent: dict | None):
+        if ent is None:
+            return None
+        # a bucket is unchanged iff its base path AND delta chain (MoR)
+        # are identical
+        return (ent.get("path"), tuple(d["path"] for d in ent.get("deltas", [])))
+
+    out = []
+    for b in set(ma) | set(mb):
+        if ident(ma.get(b)) != ident(mb.get(b)):
+            out.append(int(b))
+    return sorted(out)
+
+
+def commits_between(sink: ParquetMergeSink, from_snapshot: int,
+                    to_snapshot: int | None = None) -> list[dict]:
+    """Commit metadata in (from_snapshot, to_snapshot] — batch ids,
+    snapshot ids, touched buckets — from the newest manifest's commit
+    log. Driver-side only; feeds per-commit replays of the changelog."""
+    to_snapshot = sink.snapshot_id() if to_snapshot is None else to_snapshot
+    m = _manifest_at(sink, to_snapshot)
+    return [
+        c for c in m.get("commits", [])
+        if from_snapshot < c["snapshot_id"] <= to_snapshot
+    ]
+
+
+def changes_between(
+    sink: ParquetMergeSink,
+    from_snapshot: int,
+    to_snapshot: int | None = None,
+    change_col: str = "_change_type",
+) -> DataFrame:
+    """Net row-level changes between two retained snapshots.
+
+    Returns the table's columns (at to_snapshot's schema) plus
+    ``_change_type`` ∈ {insert, update, delete}:
+
+    * insert — key visible at ``to`` but not at ``from`` (covers
+      resurrection of a previously deleted key);
+    * update — visible at both, with a higher lsn at ``to``;
+    * delete — visible at ``from``, tombstoned at ``to``; the row carries
+      the PRE-image payload (the last state the consumer saw) with the
+      tombstone's lsn, so downstream deletes can be LSN-guarded too.
+
+    Keys whose lsn did not move — including whole untouched buckets,
+    which are pruned without being read — produce no row. A key inserted
+    and deleted strictly inside the span nets to nothing, as CDF
+    semantics require.
+    """
+    to_snapshot = sink.snapshot_id() if to_snapshot is None else to_snapshot
+    if to_snapshot < from_snapshot:
+        raise ValueError(
+            f"to_snapshot {to_snapshot} precedes from_snapshot {from_snapshot}"
+        )
+    new_pin = _pinned(sink, to_snapshot)
+    schema = new_pin.current_schema()
+    key, order = sink.key, sink.order
+    payload = [f.name for f in schema.fields]
+
+    if to_snapshot == from_snapshot:
+        empty = T.StructType(
+            list(schema.fields) + [T.StructField(change_col, T.StringType(), False)]
+        )
+        return sink.spark.createDataFrame([], empty)
+
+    buckets = changed_buckets(sink, from_snapshot, to_snapshot)
+    if not buckets:
+        empty = T.StructType(
+            list(schema.fields) + [T.StructField(change_col, T.StringType(), False)]
+        )
+        return sink.spark.createDataFrame([], empty)
+
+    old_pin = _pinned(sink, from_snapshot)
+    # read ONLY the changed buckets on both sides, tombstones included
+    # (the lsn guard lives on tombstones); align the old era's schema to
+    # the new one so the diff compares like columns
+    new = new_pin.read(buckets=buckets, include_deleted=True)
+    old = sink._align(
+        old_pin.read(buckets=buckets, include_deleted=True), schema
+    )
+    o = old.select(
+        F.col(key).alias("_k"),
+        F.col(order).alias("_old_lsn"),
+        F.coalesce(F.col("_deleted"), F.lit(False)).alias("_old_del"),
+        *[F.col(c).alias(f"_old_{c}") for c in payload if c not in (key, order)],
+    )
+    n = new.select(
+        *payload,
+        F.coalesce(F.col("_deleted"), F.lit(False)).alias("_new_del"),
+    )
+
+    j = n.join(o, n[key] == o["_k"], "full_outer")
+    new_side = F.col(key).isNotNull()
+    old_side = F.col("_k").isNotNull()
+    moved = new_side & old_side & (F.col(order) > F.col("_old_lsn"))
+    old_vis = old_side & ~F.col("_old_del")
+    new_vis = new_side & ~F.col("_new_del")
+
+    change = (
+        # never visible before, visible now → insert (covers brand-new
+        # keys AND resurrections of tombstoned ones)
+        F.when(new_vis & ~old_vis & (~old_side | moved), F.lit(INSERT))
+        # visible→visible with an lsn move → update
+        .when(new_vis & old_vis & moved, F.lit(UPDATE))
+        # visible→tombstoned → delete
+        .when(old_vis & new_side & F.col("_new_del") & moved, F.lit(DELETE))
+        # lsn unchanged / tombstone-to-tombstone / insert+delete within
+        # the span → no net change
+        .otherwise(F.lit(None))
+    )
+    j = j.withColumn(change_col, change).filter(F.col(change_col).isNotNull())
+
+    # deletes emit the PRE-image payload under the tombstone's lsn
+    out_cols = []
+    for c in payload:
+        if c == key:
+            out_cols.append(F.col(key).alias(c))
+        elif c == order:
+            out_cols.append(F.col(order).alias(c))
+        else:
+            out_cols.append(
+                F.when(F.col(change_col) == DELETE, F.col(f"_old_{c}"))
+                .otherwise(F.col(c))
+                .alias(c)
+            )
+    return j.select(*out_cols, F.col(change_col))
+
+
+def apply_changes(changes: DataFrame, sink: ParquetMergeSink,
+                  batch_id: int | None = None) -> dict | None:
+    """Apply a changelog frame (from ``changes_between`` on an upstream
+    table) to a downstream sink — the replication consumer half of CDF.
+    ``_change_type`` maps straight onto the MERGE's op column; the LSN
+    guard makes re-application idempotent. Columns the changelog carries
+    that the replica lacks evolve its schema additively first (the
+    upstream's schema evolution propagates through the changelog, same
+    registry-diff gate as the replay engine's)."""
+    from opendataloader_pdf_spark.cdc.schema_evolution import diff_schemas
+
+    incoming = T.StructType(
+        [f for f in changes.schema.fields if f.name != "_change_type"]
+    )
+    sink.evolve_schema(diff_schemas(sink.current_schema(), incoming))
+    ch = changes.withColumn(
+        "op",
+        F.when(F.col("_change_type") == DELETE, F.lit("delete"))
+        .otherwise(F.lit("update")),
+    ).drop("_change_type")
+    bid = sink.last_batch_id() + 1 if batch_id is None else batch_id
+    return sink.merge(sink._bucketed(ch), batch_id=bid)

@@ -69,6 +69,16 @@ def read_at(sink: ParquetMergeSink, snapshot_id: int,
     return pinned.read(include_deleted=include_deleted)
 
 
+def schema_at(sink: ParquetMergeSink, snapshot_id: int):
+    """The table schema as of ``snapshot_id`` (for replica bootstraps)."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    m = _manifest_at(sink, snapshot_id)
+    return T.StructType.fromJson(_json.loads(m["schemas"][str(m["schema_id"])]))
+
+
 def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
                      dry_run: bool = False) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete every

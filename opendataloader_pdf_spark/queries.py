@@ -2521,3 +2521,113 @@ def t3_packed_sequences(spark, sf_dir):
         F.size("seq").alias("n_tokens"),
         TK.token_fingerprint(F.col("seq")).alias("fp"),
     )
+
+
+# =====================================================================
+# CDC changelog (CDF / incremental-scan) — engine state-diff vs SQL
+# =====================================================================
+
+@register(
+    "cdc_changelog",
+    """
+    WITH ch AS (
+      SELECT 'd' || (user_id % 500)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 97)::INT, (user_id % 89)::INT,
+              length(event_type)::INT] AS tokens
+      FROM events
+    ), thr AS (SELECT (max(lsn) // 2) + 1 AS t FROM ch),
+    s1 AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch WHERE lsn < (SELECT t FROM thr) GROUP BY doc_id
+    ),
+    s2 AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch GROUP BY doc_id
+    ),
+    d AS (
+      SELECT s2.doc_id,
+             CASE WHEN s2.op != 'delete'
+                       AND (s1.doc_id IS NULL OR s1.op = 'delete')
+                  THEN 'insert'
+                  WHEN s2.op != 'delete' AND s1.op != 'delete'
+                       AND s2.lsn > s1.lsn
+                  THEN 'update'
+                  WHEN s2.op = 'delete' AND s1.op != 'delete'
+                  THEN 'delete'
+             END AS change_type,
+             s2.lsn AS lsn,
+             CASE WHEN s2.op = 'delete' THEN s1.tokens
+                  ELSE s2.tokens END AS tokens
+      FROM s2 LEFT JOIN s1 ON s2.doc_id = s1.doc_id
+    )
+    SELECT doc_id, change_type, lsn, len(tokens)::INT AS n_out,
+           (list_reduce(list_transform(tokens, x -> x::BIGINT),
+                        (a,v) -> (a*1000003 + v) % 2147483647)
+            * 2147483648
+            + list_reduce(list_transform(tokens, x -> x::BIGINT),
+                          (a,v) -> (a*999983 + v) % 536870909)
+           )::BIGINT AS fp
+    FROM d WHERE change_type IS NOT NULL
+    """,
+    doc="CDC changelog / CDF read (cdc/changelog.changes_between): derive "
+        "a deterministic change stream from the events table, replay it "
+        "through the REAL engine (ReplayEngine + ParquetMergeSink, two "
+        "micro-batches), then read the net row-level changes between the "
+        "two committed snapshots — bucket-pruned snapshot diff, one "
+        "full-outer key join over changed buckets only. The oracle "
+        "recomputes the same diff declaratively (two LWW states, "
+        "visibility-classified join), so this entry proves the ENGINE's "
+        "state transitions — commit, tombstone, LSN guard, snapshot "
+        "isolation — equal pure SQL semantics end-to-end. Token arrays "
+        "are projected to length + polynomial fingerprint (scalar "
+        "digests) for the canonicalizer.",
+)
+def cdc_changelog(spark, sf_dir):
+    import os
+
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.cdc.changelog import changes_between
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 500).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 97).cast("int"),
+            (F.col("user_id") % 89).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    thr = int(ch.agg(F.max("lsn")).collect()[0][0]) // 2 + 1
+
+    root = os.path.join(
+        "/dev/shm", f"cdf_catalog_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=thr)
+
+    sid_mid = sink.manifest()["commits"][0]["snapshot_id"]
+    out = changes_between(sink, sid_mid, sink.snapshot_id())
+    return out.select(
+        "doc_id",
+        F.col("_change_type").alias("change_type"),
+        "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )

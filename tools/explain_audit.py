@@ -56,6 +56,7 @@ AUDITED = [
     "minhash_incremental",
     "p1_corpus_pipeline",
     "decontaminate",
+    "cdc_changelog",
 ]
 
 
