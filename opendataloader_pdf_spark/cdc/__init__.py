@@ -20,6 +20,7 @@ from opendataloader_pdf_spark.cdc.maintenance import (  # noqa: F401
     orphan_files,
     read_at,
     remove_orphans,
+    rescale_buckets,
     retained_snapshots,
     schema_at,
 )

@@ -79,6 +79,68 @@ def schema_at(sink: ParquetMergeSink, snapshot_id: int):
     return T.StructType.fromJson(_json.loads(m["schemas"][str(m["schema_id"])]))
 
 
+def rescale_buckets(sink: ParquetMergeSink, new_n_buckets: int) -> dict:
+    """Rewrite the table under a new hash-bucket count — the partition-
+    evolution operation a growing table needs (64 buckets sized for 1 TB
+    are a skew/parallelism ceiling at 100 TB).
+
+    One full-table job: read the resolved state (tombstones INCLUDED —
+    their LSN guards must survive, or a late out-of-order event could
+    resurrect a deleted row), re-bucket with the new count, write as a
+    fresh snapshot, commit. The new count is recorded in the manifest
+    (``n_buckets``), which every reopened sink adopts — callers never
+    pass it again. For a merge-on-read sink the rewrite folds all delta
+    files into the new base, so rescale doubles as full compaction.
+
+    Not concurrency-safe with an in-flight replay (same rule as Iceberg's
+    partition-spec change: quiesce writers first). Time travel across the
+    rescale works — old manifests keep the old bucket map — and a
+    ``changes_between`` spanning it reports no rows (every bucket path
+    changes, but no lsn moves). Returns the commit record."""
+    import time
+
+    m = sink.manifest()  # adopts current n_buckets
+    old_n = sink.n_buckets
+    if new_n_buckets == old_n:
+        return {"snapshot_id": m["snapshot_id"], "rescale": [old_n, old_n],
+                "noop": True}
+    if new_n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {new_n_buckets}")
+
+    # resolved state incl. tombstones, aligned to the current schema
+    df = sink.read(include_deleted=True)
+    sid = m["snapshot_id"] + 1
+    snap_rel = f"snap-{sid}"
+    snap_dir = os.path.join(sink.data_dir, snap_rel)
+    table_cols = [f.name for f in sink.current_schema().fields]
+
+    sink.n_buckets = new_n_buckets  # bucket_of now uses the new count
+    out = sink._bucketed(df).select(*table_cols, "_deleted", "bucket")
+    (
+        out.repartition(new_n_buckets, "bucket")
+        .sortWithinPartitions(sink.key)
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(snap_dir)
+    )
+    buckets: dict[str, dict] = {}
+    for b in range(new_n_buckets):
+        d = os.path.join(snap_dir, f"bucket={b}")
+        if os.path.isdir(d):
+            buckets[str(b)] = {"path": f"{snap_rel}/bucket={b}",
+                               "schema_id": m["schema_id"],
+                               "rows": sink._dir_rows(d)}
+    m["buckets"] = buckets
+    m["snapshot_id"] = sid
+    m["n_buckets"] = new_n_buckets
+    rec = {"batch_id": m["batch_id"], "snapshot_id": sid,
+           "buckets": sorted(int(b) for b in buckets),
+           "rescale": [old_n, new_n_buckets], "wall_ts": time.time()}
+    m["commits"].append(rec)
+    sink._commit(m)
+    return rec
+
+
 def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
                      dry_run: bool = False) -> dict:
     """Drop all but the newest ``keep_last`` manifests and delete every

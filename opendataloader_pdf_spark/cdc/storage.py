@@ -86,7 +86,17 @@ class ParquetMergeSink:
         with open(self._head_path()) as f:
             name = f.read().strip()
         with open(os.path.join(self.meta_dir, name)) as f:
-            return json.load(f)
+            m = json.load(f)
+        # the bucket count is a TABLE property, not a session choice:
+        # adopt the manifest's value so reopening an existing table with a
+        # different constructor n_buckets can never mis-bucket a merge or
+        # mis-prune a read (pre-rescale manifests lack the field — keep
+        # the constructor value there). maintenance.rescale_buckets is the
+        # only writer of a changed value.
+        nb = m.get("n_buckets")
+        if nb is not None and nb != self.n_buckets:
+            self.n_buckets = int(nb)
+        return m
 
     def _commit(self, m: dict) -> None:
         name = f"manifest-{m['snapshot_id']}.json"
@@ -150,6 +160,7 @@ class ParquetMergeSink:
             "snapshot_id": 0,
             "batch_id": -1,
             "schema_id": 0,
+            "n_buckets": self.n_buckets,
             "schemas": {"0": json.dumps(schema.jsonValue())},
             "buckets": buckets,
             "commits": [],
