@@ -144,13 +144,21 @@ def main() -> None:
         qtimes[name] = round(time.time() - t0, 3)
         _ = n
 
+    # the similarity queries cache narrow frames by contract (shingles /
+    # signatures feed multiple consumers) and leave them to the session;
+    # drop them before the replay trials so the engine measures itself,
+    # not the query stage's leftover blocks squeezing executor memory
+    spark.catalog.clearCache()
+
     n_events, n_docs, batch_size = REPLAY_SIZE.get(sf, (200_000, 20_000, 50_000))
     workdir = os.environ.get("SPARK_GRAFT_BENCH_DIR", f"/dev/shm/bench_cdc_sf{sf}")
     os.makedirs(workdir, exist_ok=True)
-    # untimed warm-up replay: compiles the engine's codegen shapes
-    # (upfront probe window, reduce, MERGE join, snapshot write) so the
-    # measured run reports steady-state throughput, not JVM JIT latency
-    run_replay(spark, 20_000, 2_000, workdir, batch_size=5_000)
+    # untimed warm-up replay at FULL size: compiles the engine's codegen
+    # shapes (upfront probe window, reduce, MERGE join, snapshot write)
+    # AND lets JIT tier-up/heap sizing finish at the real data scale —
+    # measured trials ascend ~1.5-2x when the warm-up is undersized, so a
+    # small warm-up systematically understates the median
+    run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
     # shared-host run-to-run variance is ±15-25%; report the median of 3
     # trials so the headline throughput measures the engine, not the
     # neighbor's workload (same protocol as tools/scaling_bench.py)

@@ -29,4 +29,5 @@ from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
     changed_buckets,
     changes_between,
     commits_between,
+    follow_changes,
 )

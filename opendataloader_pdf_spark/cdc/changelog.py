@@ -200,6 +200,22 @@ def changes_between(
     return j.select(*out_cols, F.col(change_col))
 
 
+def follow_changes(sink: ParquetMergeSink, from_snapshot: int,
+                   to_snapshot: int | None = None):
+    """Per-commit changelog frames in commit order — the tailing consumer
+    shape (generator of ``(commit_record, DataFrame)``). Each frame is the
+    net diff of exactly one commit, so a follower applying them in order
+    replays the upstream's history; a crashed follower resumes from the
+    last snapshot id it applied (pass it as ``from_snapshot``). Commits
+    older than the retained-manifest horizon raise — expire upstream
+    snapshots only past every follower's position, the same contract
+    Iceberg documents for incremental consumers."""
+    prev = from_snapshot
+    for c in commits_between(sink, from_snapshot, to_snapshot):
+        yield c, changes_between(sink, prev, c["snapshot_id"])
+        prev = c["snapshot_id"]
+
+
 def apply_changes(changes: DataFrame, sink: ParquetMergeSink,
                   batch_id: int | None = None) -> dict | None:
     """Apply a changelog frame (from ``changes_between`` on an upstream

@@ -230,6 +230,31 @@ class ParquetMergeSink:
             return df
         return df.filter(~F.coalesce(F.col("_deleted"), F.lit(False))).drop("_deleted")
 
+    def lookup(self, keys: list) -> DataFrame:
+        """Point read of the given keys: bucket-pruned (the scan opens
+        ONLY the buckets the keys hash into — at 4096 buckets a 10-key
+        lookup touches ≤10 files of a 100 TB table) with the key
+        predicate pushed to parquet (files are key-sorted within buckets,
+        so row-group min/max stats skip pages too).
+
+        The bucket ids come from a LocalTableScan over the key list using
+        the sink's own bucket expression — same hash, zero drift risk,
+        no data-table job."""
+        if not keys:
+            return self.read(buckets=[])
+        key_type = next(
+            f.dataType for f in self.current_schema().fields if f.name == self.key
+        )
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys],
+            T.StructType([T.StructField(self.key, key_type)]),
+        )
+        buckets = sorted(
+            r["b"] for r in
+            kdf.select(self.bucket_of(self.key).alias("b")).distinct().collect()
+        )
+        return self.read(buckets=buckets).filter(F.col(self.key).isin(list(keys)))
+
     # ---------------------------------------------------------------- merge
 
     def evolve_schema(self, target: T.StructType) -> int:
