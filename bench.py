@@ -159,15 +159,16 @@ def main() -> None:
     # measured trials ascend ~1.5-2x when the warm-up is undersized, so a
     # small warm-up systematically understates the median
     run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
-    # shared-host run-to-run variance is ±15-25%; report the median of 3
-    # trials so the headline throughput measures the engine, not the
-    # neighbor's workload (same protocol as tools/scaling_bench.py)
+    # shared-host run-to-run variance swings up to several x when the
+    # hypervisor is contended; report the median of 5 trials so the
+    # headline throughput measures the engine, not the neighbor's
+    # workload (same protocol as tools/scaling_bench.py)
     trials = sorted(
         (run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
-         for _ in range(3)),
+         for _ in range(5)),
         key=lambda r: r["events_per_sec"],
     )
-    replay = trials[1]
+    replay = trials[len(trials) // 2]
     replay["trial_events_per_sec"] = [t["events_per_sec"] for t in trials]
     # merge-on-read ingest mode: same reduce, append-only delta commits,
     # LWW resolved at read (final_rows pays the resolve — kept honest)
