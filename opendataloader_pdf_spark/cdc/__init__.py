@@ -24,6 +24,12 @@ from opendataloader_pdf_spark.cdc.maintenance import (  # noqa: F401
     retained_snapshots,
     schema_at,
 )
+from opendataloader_pdf_spark.cdc.wap import (  # noqa: F401
+    abort as abort_staged,
+    begin_staged,
+    publish,
+    staged_commits,
+)
 from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
     apply_changes,
     changed_buckets,

@@ -686,6 +686,13 @@ class ParquetMergeSink:
                                      affected, audit)
 
     def read_audit(self) -> DataFrame:
+        if not os.path.isdir(self.audit_dir) or not os.listdir(self.audit_dir):
+            # no committed batch yet (fresh table, or every staged batch
+            # aborted) — an empty lineage table, not a read error
+            schema = ("batch_id long, snapshot_id long, bucket int, "
+                      "updated long, inserted long, deleted long, "
+                      "stale long, min_lsn long, max_lsn long")
+            return self.spark.createDataFrame([], schema)
         return self.spark.read.parquet(os.path.join(self.audit_dir, "*"))
 
     def drop(self) -> None:
