@@ -20,9 +20,13 @@ from opendataloader_pdf_spark.cdc.maintenance import (  # noqa: F401
     orphan_files,
     read_at,
     remove_orphans,
+    drop_tag,
+    read_tag,
     rescale_buckets,
     retained_snapshots,
     schema_at,
+    tag,
+    tags,
 )
 from opendataloader_pdf_spark.cdc.wap import (  # noqa: F401
     abort as abort_staged,

@@ -79,6 +79,49 @@ def schema_at(sink: ParquetMergeSink, snapshot_id: int):
     return T.StructType.fromJson(_json.loads(m["schemas"][str(m["schema_id"])]))
 
 
+def tag(sink: ParquetMergeSink, name: str,
+        snapshot_id: int | None = None) -> int:
+    """Pin a retained snapshot under a name (Iceberg tag analog) —
+    ``read_tag`` resolves it and ``expire_snapshots`` will NOT drop it,
+    so a tag is a durable reader horizon (e.g. the exact table state a
+    training run consumed). Returns the tagged snapshot id."""
+    import re
+
+    if not re.fullmatch(r"[A-Za-z0-9._-]+", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    sid = sink.snapshot_id() if snapshot_id is None else snapshot_id
+    _manifest_at(sink, sid)  # must be retained
+    from opendataloader_pdf_spark.cdc.storage import _atomic_write
+
+    _atomic_write(os.path.join(sink.meta_dir, f"ref-{name}"), str(sid))
+    return sid
+
+
+def tags(sink: ParquetMergeSink) -> dict[str, int]:
+    """All named refs → snapshot id."""
+    out: dict[str, int] = {}
+    for fn in os.listdir(sink.meta_dir):
+        if fn.startswith("ref-"):
+            with open(os.path.join(sink.meta_dir, fn)) as f:
+                out[fn[len("ref-"):]] = int(f.read().strip())
+    return out
+
+
+def drop_tag(sink: ParquetMergeSink, name: str) -> None:
+    path = os.path.join(sink.meta_dir, f"ref-{name}")
+    if os.path.exists(path):
+        os.remove(path)
+
+
+def read_tag(sink: ParquetMergeSink, name: str,
+             include_deleted: bool = False) -> DataFrame:
+    """Time-travel read of the tagged snapshot."""
+    all_tags = tags(sink)
+    if name not in all_tags:
+        raise ValueError(f"unknown tag {name!r}; have {sorted(all_tags)}")
+    return read_at(sink, all_tags[name], include_deleted=include_deleted)
+
+
 def rescale_buckets(sink: ParquetMergeSink, new_n_buckets: int) -> dict:
     """Rewrite the table under a new hash-bucket count — the partition-
     evolution operation a growing table needs (64 buckets sized for 1 TB
@@ -153,7 +196,8 @@ def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
     never a retained manifest with missing files."""
     all_sids = retained_snapshots(sink)
     head_sid = sink.snapshot_id()
-    keep = set(all_sids[-keep_last:]) | {head_sid}
+    # tagged snapshots are durable reader horizons — never expired
+    keep = set(all_sids[-keep_last:]) | {head_sid} | set(tags(sink).values())
     expired = [s for s in all_sids if s not in keep]
     if not expired:
         return {"expired": [], "deleted_files": 0, "freed_bytes": 0}
