@@ -39,5 +39,7 @@ from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
     changed_buckets,
     changes_between,
     commits_between,
+    delta_counts,
+    apply_delta_state,
     follow_changes,
 )

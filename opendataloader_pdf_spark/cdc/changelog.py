@@ -103,6 +103,7 @@ def changes_between(
     from_snapshot: int,
     to_snapshot: int | None = None,
     change_col: str = "_change_type",
+    preimages: bool = False,
 ) -> DataFrame:
     """Net row-level changes between two retained snapshots.
 
@@ -115,6 +116,13 @@ def changes_between(
     * delete — visible at ``from``, tombstoned at ``to``; the row carries
       the PRE-image payload (the last state the consumer saw) with the
       tombstone's lsn, so downstream deletes can be LSN-guarded too.
+
+    With ``preimages=True`` every update emits TWO rows, Delta-CDF style
+    (``update_preimage`` with the old payload at the old lsn, then
+    ``update_postimage``) — what sign-decomposable downstream maintenance
+    (incremental aggregates, see ``delta_counts``) needs. Emitted in one
+    pass: the join is computed once and updates fan out via explode, so
+    the option costs no extra scan or shuffle.
 
     Keys whose lsn did not move — including whole untouched buckets,
     which are pruned without being read — produce no row. A key inserted
@@ -184,20 +192,45 @@ def changes_between(
     )
     j = j.withColumn(change_col, change).filter(F.col(change_col).isNotNull())
 
-    # deletes emit the PRE-image payload under the tombstone's lsn
-    out_cols = []
-    for c in payload:
-        if c == key:
-            out_cols.append(F.col(key).alias(c))
-        elif c == order:
-            out_cols.append(F.col(order).alias(c))
-        else:
-            out_cols.append(
-                F.when(F.col(change_col) == DELETE, F.col(f"_old_{c}"))
-                .otherwise(F.col(c))
-                .alias(c)
-            )
-    return j.select(*out_cols, F.col(change_col))
+    def image(kind: str) -> "F.Column":
+        # pre-images take every non-key column from the old side (old lsn
+        # included for 'update_preimage'; the tombstone's NEW lsn for
+        # 'delete' — downstream deletes stay LSN-guarded)
+        fields = []
+        for c in payload:
+            if c == key:
+                fields.append(F.col(key).alias(c))
+            elif c == order:
+                fields.append(
+                    (F.col("_old_lsn") if kind == "pre" else F.col(order)).alias(c)
+                )
+            elif kind == "pre":
+                fields.append(F.col(f"_old_{c}").alias(c))
+            else:
+                fields.append(
+                    F.when(F.col(change_col) == DELETE, F.col(f"_old_{c}"))
+                    .otherwise(F.col(c))
+                    .alias(c)
+                )
+        ct = (
+            F.lit("update_preimage") if kind == "pre"
+            else F.when(F.col(change_col) == UPDATE,
+                        F.lit("update_postimage" if preimages else UPDATE))
+            .otherwise(F.col(change_col))
+        )
+        return F.struct(*fields, ct.alias(change_col))
+
+    if not preimages:
+        return j.select(image("post").alias("_r")).select(
+            *[F.col(f"_r.{c}").alias(c) for c in payload + [change_col]]
+        )
+    rows = F.when(
+        F.col(change_col) == UPDATE, F.array(image("pre"), image("post"))
+    ).otherwise(F.array(image("post")))
+    return (
+        j.select(F.explode(rows).alias("_r"))
+        .select(*[F.col(f"_r.{c}").alias(c) for c in payload + [change_col]])
+    )
 
 
 def follow_changes(sink: ParquetMergeSink, from_snapshot: int,
@@ -214,6 +247,64 @@ def follow_changes(sink: ParquetMergeSink, from_snapshot: int,
     for c in commits_between(sink, from_snapshot, to_snapshot):
         yield c, changes_between(sink, prev, c["snapshot_id"])
         prev = c["snapshot_id"]
+
+
+def delta_counts(changes: DataFrame, group_cols: list[str],
+                 measures: dict[str, "F.Column"] | None = None,
+                 change_col: str = "_change_type") -> DataFrame:
+    """Signed per-group contributions of a PRE-IMAGE changelog
+    (``changes_between(..., preimages=True)``) to sum-decomposable
+    aggregates — the incremental-materialized-view primitive: at 100 TB
+    a downstream per-source stats table is maintained from the changed
+    rows only, never recomputed from the full table.
+
+    ``measures`` maps output column → expression over the row (default
+    ``{"n_rows": lit(1)}``). insert/update_postimage add the measure,
+    delete/update_preimage subtract it; one map-side-combinable groupBy.
+    Compose with ``apply_delta_state`` to fold into the running state."""
+    measures = measures or {"n_rows": F.lit(1)}
+    sign = (
+        F.when(F.col(change_col).isin(INSERT, "update_postimage"), F.lit(1))
+        .when(F.col(change_col).isin(DELETE, "update_preimage"), F.lit(-1))
+        .otherwise(F.lit(None))  # plain 'update' = post-only changelog
+    )
+    bad = changes.filter(sign.isNull()).limit(1)
+    # fail loudly on a post-only changelog rather than silently
+    # double-counting updates (cheap: one row probe)
+    if bad.take(1):
+        raise ValueError(
+            "delta_counts needs a pre-image changelog — call "
+            "changes_between(..., preimages=True)"
+        )
+    aggs = [
+        F.sum(sign * expr).alias(name) for name, expr in measures.items()
+    ]
+    return changes.groupBy(*group_cols).agg(*aggs)
+
+
+def apply_delta_state(state: DataFrame, delta: DataFrame,
+                      group_cols: list[str]) -> DataFrame:
+    """Fold a ``delta_counts`` frame into the running aggregate state:
+    full-outer on the group keys, numeric columns summed, groups whose
+    every measure reaches zero dropped (the group disappeared). Both
+    sides shuffle on the same keys — one exchange each, no wide data."""
+    value_cols = [c for c in state.columns if c not in group_cols]
+    d = delta.select(
+        *group_cols, *[F.col(c).alias(f"_d_{c}") for c in value_cols]
+    )
+    j = state.join(d, on=list(group_cols), how="full_outer")
+    out = j.select(
+        *group_cols,
+        *[
+            (F.coalesce(F.col(c), F.lit(0)) + F.coalesce(F.col(f"_d_{c}"), F.lit(0))).alias(c)
+            for c in value_cols
+        ],
+    )
+    alive = None
+    for c in value_cols:
+        cond = F.col(c) != 0
+        alive = cond if alive is None else (alive | cond)
+    return out.filter(alive) if alive is not None else out
 
 
 def apply_changes(changes: DataFrame, sink: ParquetMergeSink,

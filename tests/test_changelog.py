@@ -186,3 +186,64 @@ def test_per_commit_composition_equals_net(spark, replayed, tmp_path):
             if c not in df.columns:
                 df[c] = None
     assert_states_equal(got[cols], want[cols])
+
+
+def test_preimage_changelog_and_incremental_agg(spark, replayed):
+    """Delta-CDF pre-images: per-update pre+post rows; incremental
+    aggregate maintenance from the changelog equals full recompute."""
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.cdc.changelog import (
+        apply_delta_state,
+        delta_counts,
+    )
+    from opendataloader_pdf_spark.cdc.maintenance import read_at
+
+    d, sink = replayed
+    sid_a = _commit_snap(sink, 1)
+    head = sink.snapshot_id()
+
+    cdf = changes_between(sink, sid_a, head, preimages=True)
+    counts = dict(
+        cdf.groupBy("_change_type").count().collect()
+    )
+    pre = {r["_change_type"]: r["count"] for r in cdf.groupBy(
+        "_change_type").count().collect()}
+    assert pre.get("update_preimage", 0) == pre.get("update_postimage", 0) > 0
+    # post-only changelog types never appear in pre-image mode
+    assert "update" not in pre
+
+    # pre-image rows carry the OLD payload at the OLD lsn
+    old = _state_after(spark, d, 2)
+    sample = cdf.filter(F.col("_change_type") == "update_preimage").limit(5).collect()
+    for r in sample:
+        assert r["lsn"] == old.loc[r["doc_id"], "lsn"]
+
+    # incremental MV maintenance: per-source (n_docs, n_tokens) state at
+    # snapshot A + delta_counts == full recompute at HEAD
+    def full_stats(df):
+        return df.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("n_tokens"),
+        )
+
+    state_a = full_stats(read_at(sink, sid_a))
+    delta = delta_counts(
+        cdf, ["source"],
+        {"n_docs": F.lit(1), "n_tokens": F.coalesce(F.col("n_tok"), F.lit(0))},
+    )
+    maintained = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in apply_delta_state(state_a, delta, ["source"]).collect()
+    }
+    want = {
+        r["source"]: (r["n_docs"], r["n_tokens"])
+        for r in full_stats(read_at(sink, head)).collect()
+    }
+    assert maintained == want
+
+    # a post-only changelog is rejected loudly
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        delta_counts(changes_between(sink, sid_a, head), ["source"])
