@@ -103,3 +103,46 @@ def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of lowercase normalized
     text (md5 is identical across Spark and DuckDB → exact oracle)."""
     return F.md5(F.lower(normalize_ws(col)))
+
+
+def _words(col: Column) -> Column:
+    return F.split(normalize_ws(F.lower(col)), " ")
+
+
+def dup_word_frac(col: Column) -> Column:
+    """Fraction of word occurrences that are repeats of an earlier word —
+    the Gopher/RefinedWeb duplicate-token repetition signal. Pure JVM
+    (split + array_distinct), no shuffle, no Python."""
+    w = _words(col)
+    n = F.size(w).cast("double")
+    return F.round(
+        F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(w)) / n)
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+
+
+def dup_bigram_frac(col: Column) -> Column:
+    """Duplicate-bigram fraction (Gopher's dup n-gram class, n=2):
+    1 − distinct bigrams / total bigrams. Bigrams built with a JVM
+    transform over the word array — no explode, no shuffle."""
+    # wrap the word array in a struct so the lambda references ONE
+    # materialized array (not a re-derived split per element); guard
+    # size<2 explicitly — Spark's sequence(0, -1) would generate a
+    # DESCENDING sequence, not an empty one
+    s = F.struct(_words(col).alias("w"))
+    bi = F.when(
+        F.size(s["w"]) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(s["w"]) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(s["w"], i + 1), F.element_at(s["w"], i + 2)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n = F.size(bi).cast("double")
+    return F.round(
+        F.when(n > 0, F.lit(1.0) - F.size(F.array_distinct(bi)) / n)
+        .otherwise(F.lit(0.0)),
+        6,
+    )

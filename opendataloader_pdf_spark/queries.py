@@ -2631,3 +2631,128 @@ def cdc_changelog(spark, sf_dir):
         F.size("tokens").alias("n_out"),
         TK.token_fingerprint(F.col("tokens")).alias("fp"),
     )
+
+
+@register(
+    "cdc_incremental_stats",
+    """
+    WITH ch AS (
+      SELECT 'd' || (user_id % 500)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             event_type AS source,
+             (event_id % 7 + 1)::INT AS n_tok
+      FROM events
+    ),
+    s2 AS (
+      SELECT doc_id, arg_max(op, lsn) AS op, arg_max(source, lsn) AS source,
+             arg_max(n_tok, lsn) AS n_tok
+      FROM ch GROUP BY doc_id
+    )
+    SELECT source, count(*) AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+    FROM s2 WHERE op != 'delete' GROUP BY source
+    """,
+    doc="Incremental materialized-view maintenance over the REAL engine "
+        "(cdc/changelog.delta_counts + apply_delta_state): replay a "
+        "derived change stream in two micro-batches, take per-source "
+        "(n_docs, n_tokens) at the FIRST snapshot, fold in the pre-image "
+        "changelog's signed contributions — never recomputing from the "
+        "full table — and the result must equal the oracle's aggregate "
+        "over the final LWW state. Proves the incremental path (diff → "
+        "signs → state fold) equals declarative SQL end-to-end; the 100 "
+        "TB shape, where downstream stats update from changed rows only.",
+)
+def cdc_incremental_stats(spark, sf_dir):
+    import os
+
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        apply_delta_state,
+        changes_between,
+        delta_counts,
+        read_at,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 500).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 7).cast("int")).alias("tokens"),
+        (F.col("event_id") % 7 + 1).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    thr = int(ch.agg(F.max("lsn")).collect()[0][0]) // 2 + 1
+    root = os.path.join(
+        "/dev/shm", f"imv_catalog_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=thr)
+
+    sid_mid = sink.manifest()["commits"][0]["snapshot_id"]
+    state = read_at(sink, sid_mid).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.coalesce(F.col("n_tok"), F.lit(0))).alias("n_tokens"),
+    )
+    cdf = changes_between(sink, sid_mid, sink.snapshot_id(), preimages=True)
+    delta = delta_counts(
+        cdf, ["source"],
+        {"n_docs": F.lit(1), "n_tokens": F.coalesce(F.col("n_tok"), F.lit(0))},
+    )
+    return apply_delta_state(state, delta, ["source"])
+
+
+@register(
+    "repetition_quality",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                          ' ') AS words
+      FROM documents
+    ), b AS (
+      SELECT doc_id, words,
+             CASE WHEN len(words) >= 2
+                  THEN list_transform(range(1, len(words)),
+                                      i -> words[i] || ' ' || words[i + 1])
+                  ELSE [] END AS bigrams
+      FROM w
+    )
+    SELECT doc_id,
+           len(words)::INT AS n_words,
+           round(CASE WHEN len(words) > 0
+                      THEN 1.0 - len(list_distinct(words))::DOUBLE / len(words)
+                      ELSE 0.0 END, 6) AS dup_word_frac,
+           round(CASE WHEN len(bigrams) > 0
+                      THEN 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+           round(CASE WHEN len(bigrams) > 0
+                      THEN 1.0 - len(list_distinct(bigrams))::DOUBLE / len(bigrams)
+                      ELSE 0.0 END, 6) > 0.2 AS is_repetitive
+    FROM b
+    """,
+    doc="Repetition-quality signals (Gopher/RefinedWeb duplicate n-gram "
+        "rules; F10 expensive-scalar family): duplicate-word and "
+        "duplicate-bigram fractions per document, flag above threshold. "
+        "Pure JVM array ops (split → transform → array_distinct) — no "
+        "explode, no shuffle, no Python; the filter stack's repetition "
+        "leg for training-corpus curation.",
+)
+def repetition_quality(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(X.normalize_ws(F.lower(F.col("text"))), " ")).alias("n_words"),
+        X.dup_word_frac(F.col("text")).alias("dup_word_frac"),
+        X.dup_bigram_frac(F.col("text")).alias("dup_bigram_frac"),
+        (X.dup_bigram_frac(F.col("text")) > 0.2).alias("is_repetitive"),
+    )

@@ -156,3 +156,38 @@ def test_iceberg_sink_contract(spark, tmp_path):
     assert s.events == 5100
     again = eng.replay(ev, batch_size=2000)
     assert len(again.batches) == 0
+
+
+def test_repetition_signals_edges(spark):
+    """dup_word/bigram fractions: exact values and the size<2 guard
+    (Spark's sequence(0,-1) is DESCENDING — must not fabricate bigrams)."""
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.functions.text import (
+        dup_bigram_frac,
+        dup_word_frac,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "x x x x"),          # 4 words 1 distinct → dup 0.75; bigrams 3/1 → 2/3
+            ("b", "a b c d"),          # all distinct → 0.0 / 0.0
+            ("c", "word"),             # single word → no bigrams
+            ("d", ""),                 # empty
+            ("e", "a b a b a b"),      # bigrams: 5 total, 2 distinct → 0.6
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r["doc_id"]: (r["w"], r["b"])
+        for r in df.select(
+            "doc_id",
+            dup_word_frac(F.col("text")).alias("w"),
+            dup_bigram_frac(F.col("text")).alias("b"),
+        ).collect()
+    }
+    assert got["a"] == (0.75, round(2 / 3, 6))
+    assert got["b"] == (0.0, 0.0)
+    assert got["c"] == (0.0, 0.0)
+    assert got["d"] == (0.0, 0.0)
+    assert got["e"] == (round(2 / 3, 6), 0.6)

@@ -57,6 +57,8 @@ AUDITED = [
     "p1_corpus_pipeline",
     "decontaminate",
     "cdc_changelog",
+    "cdc_incremental_stats",
+    "repetition_quality",
 ]
 
 
