@@ -2756,3 +2756,102 @@ def repetition_quality(spark, sf_dir):
         X.dup_bigram_frac(F.col("text")).alias("dup_bigram_frac"),
         (X.dup_bigram_frac(F.col("text")) > 0.2).alias("is_repetitive"),
     )
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id::VARCHAR ||
+             '@example.com or +1 555-' ||
+             lpad(((doc_id * 7919) % 10000)::VARCHAR, 4, '0') ||
+             ' id ' || lpad(((doc_id * 104729) % 1000000000)::VARCHAR, 9, '0')
+             AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[+]?[0-9]{1,2}[ -]?[0-9]{3}[-.][0-9]{4}', '<PHONE>', 'g'),
+               ' id [0-9]{9}', ' id <ID>', 'g')) AS scrubbed_md5,
+           length(regexp_extract(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+', 0)) > 0
+             AS had_email
+    FROM dirty
+    """,
+    doc="PII redaction (training-corpus scrub; F9 invalid-char-replace "
+        "family): emails, phone numbers, 9-digit ids replaced by typed "
+        "placeholders — chained JVM regexp_replace, codegen'd, no Python. "
+        "The test corpus carries no real PII, so both engines INJECT the "
+        "same synthetic contact block per doc, scrub it, and compare md5 "
+        "of the scrubbed text (regex class/quantifier subset chosen to "
+        "behave identically under Java regex and RE2).",
+)
+def pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dirty = F.concat(
+        F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1 555-"),
+        F.lpad(((F.col("doc_id") * 7919) % 10000).cast("string"), 4, "0"),
+        F.lit(" id "),
+        F.lpad(((F.col("doc_id") * 104729) % 1000000000).cast("string"), 9, "0"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                dirty,
+                r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"
+            ),
+            r"[+]?[0-9]{1,2}[ -]?[0-9]{3}[-.][0-9]{4}", "<PHONE>"
+        ),
+        r" id [0-9]{9}", " id <ID>"
+    )
+    return d.select(
+        "doc_id",
+        F.md5(scrub).alias("scrubbed_md5"),
+        (F.length(F.regexp_extract(dirty, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+", 0)) > 0
+         ).alias("had_email"),
+    )
+
+
+@register(
+    "length_percentile_filter",
+    """
+    WITH stats AS (
+      SELECT source,
+             round(quantile_cont(length(text), 0.05), 6) AS lo,
+             round(quantile_cont(length(text), 0.95), 6) AS hi
+      FROM documents GROUP BY source
+    )
+    SELECT d.source, count(*) AS n_kept,
+           min(length(d.text))::INT AS min_len,
+           max(length(d.text))::INT AS max_len
+    FROM documents d JOIN stats s ON d.source = s.source
+    WHERE length(d.text) >= s.lo AND length(d.text) <= s.hi
+    GROUP BY d.source
+    """,
+    doc="Per-source length-percentile outlier filter (corpus curation: "
+        "drop the shortest/longest 5% per source). Exact percentile via "
+        "one map-side-combinable agg over the small group count, "
+        "broadcast back onto the fact scan — the global-stats-then-"
+        "filter pattern (reference A3 mode-stats family at corpus "
+        "scale). Spark percentile() and DuckDB quantile_cont both "
+        "interpolate linearly; thresholds rounded to 6dp in both engines "
+        "so boundary rows can't flip on float drift.",
+)
+def length_percentile_filter(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").select(
+        "source", F.length("text").alias("len")
+    )
+    stats = d.groupBy("source").agg(
+        F.round(F.expr("percentile(len, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(len, 0.95)"), 6).alias("hi"),
+    )
+    kept = d.join(F.broadcast(stats), "source").filter(
+        (F.col("len") >= F.col("lo")) & (F.col("len") <= F.col("hi"))
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.min("len").cast("int").alias("min_len"),
+        F.max("len").cast("int").alias("max_len"),
+    )
