@@ -56,6 +56,20 @@ def main() -> None:
                         "instead of failing or silently applying them")
     p.add_argument("--bootstrap", default=None,
                    help="optional parquet path of the initial base table")
+    p.add_argument("--staged", action="store_true",
+                   help="write-audit-publish: replay into a STAGE chain "
+                        "invisible to readers, publish after the replay "
+                        "summary prints clean (aborts on engine error)")
+    p.add_argument("--tag", default=None,
+                   help="after a successful replay, pin the final "
+                        "snapshot under this name (survives expiry)")
+    p.add_argument("--expire-keep", type=int, default=None,
+                   help="after the replay, expire all but the newest N "
+                        "snapshots (tagged snapshots always retained)")
+    p.add_argument("--rescale-buckets", type=int, default=None,
+                   help="BEFORE the replay, rewrite the table under this "
+                        "bucket count (partition evolution; quiesce other "
+                        "writers first)")
     p.add_argument("--gen-events", type=int, default=None,
                    help="generate a synthetic stream of this many events first")
     p.add_argument("--gen-docs", type=int, default=10_000)
@@ -95,7 +109,39 @@ def main() -> None:
     base = spark.read.parquet(a.bootstrap) if a.bootstrap else None
     engine.bootstrap(base)
 
-    summary = engine.replay(events, batch_size=a.batch_size)
+    if a.rescale_buckets:
+        from opendataloader_pdf_spark.cdc import rescale_buckets
+
+        print(json.dumps({"rescale": rescale_buckets(sink, a.rescale_buckets)}))
+
+    if a.staged:
+        from opendataloader_pdf_spark.cdc import (
+            abort_staged,
+            begin_staged,
+            publish,
+        )
+
+        staged = begin_staged(sink, resume=True)
+        engine = ReplayEngine(spark, staged, salted=a.salted,
+                              reduce_strategy=a.reduce_strategy,
+                              quarantine=a.quarantine)
+        try:
+            summary = engine.replay(events, batch_size=a.batch_size)
+        except Exception:
+            abort_staged(sink)
+            raise
+        publish(sink)
+    else:
+        summary = engine.replay(events, batch_size=a.batch_size)
+
+    if a.tag:
+        from opendataloader_pdf_spark.cdc import tag as _tag
+
+        _tag(sink, a.tag)
+    if a.expire_keep:
+        from opendataloader_pdf_spark.cdc import expire_snapshots
+
+        print(json.dumps({"expire": expire_snapshots(sink, keep_last=a.expire_keep)}))
     if a.mor and a.compact:
         compacted = sink.compact()
         print(json.dumps({"compacted_buckets": compacted}))
