@@ -40,28 +40,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from opendataloader_pdf_spark.cdc.maintenance import _manifest_at
+from opendataloader_pdf_spark.cdc.maintenance import _manifest_at, pinned_view
 from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
 
 #: change-type values, Delta-CDF-style (net changes, post-image rows;
 #: deletes carry the pre-image — the tombstone's payload is the delete
 #: event's, not the last visible row's)
 INSERT, UPDATE, DELETE = "insert", "update", "delete"
-
-
-def _pinned(sink: ParquetMergeSink, snapshot_id: int) -> ParquetMergeSink:
-    """Snapshot-pinned shallow view of the sink (same trick as
-    maintenance.read_at, but returning the sink so callers can use
-    bucket-pruned reads)."""
-    m = _manifest_at(sink, snapshot_id)
-
-    class _Pinned(type(sink)):
-        def manifest(self) -> dict:  # noqa: D102
-            return m
-
-    pinned = object.__new__(_Pinned)
-    pinned.__dict__.update(sink.__dict__)
-    return pinned
 
 
 def changed_buckets(sink: ParquetMergeSink, from_snapshot: int,
@@ -134,7 +119,7 @@ def changes_between(
         raise ValueError(
             f"to_snapshot {to_snapshot} precedes from_snapshot {from_snapshot}"
         )
-    new_pin = _pinned(sink, to_snapshot)
+    new_pin = pinned_view(sink, to_snapshot)
     schema = new_pin.current_schema()
     key, order = sink.key, sink.order
     payload = [f.name for f in schema.fields]
@@ -152,7 +137,7 @@ def changes_between(
         )
         return sink.spark.createDataFrame([], empty)
 
-    old_pin = _pinned(sink, from_snapshot)
+    old_pin = pinned_view(sink, from_snapshot)
     # read ONLY the changed buckets on both sides, tombstones included
     # (the lsn guard lives on tombstones); align the old era's schema to
     # the new one so the diff compares like columns
@@ -268,16 +253,22 @@ def delta_counts(changes: DataFrame, group_cols: list[str],
         .when(F.col(change_col).isin(DELETE, "update_preimage"), F.lit(-1))
         .otherwise(F.lit(None))  # plain 'update' = post-only changelog
     )
-    bad = changes.filter(sign.isNull()).limit(1)
     # fail loudly on a post-only changelog rather than silently
-    # double-counting updates (cheap: one row probe)
-    if bad.take(1):
-        raise ValueError(
-            "delta_counts needs a pre-image changelog — call "
-            "changes_between(..., preimages=True)"
-        )
+    # double-counting updates — the guard rides the sign expression
+    # itself (raise_error on the first bad row), so validation costs no
+    # second scan of the changelog
+    guarded_sign = F.coalesce(
+        sign,
+        F.raise_error(
+            F.lit(
+                "delta_counts needs a pre-image changelog — call "
+                "changes_between(..., preimages=True)"
+            )
+        ).cast("int"),
+    )
     aggs = [
-        F.sum(sign * expr).alias(name) for name, expr in measures.items()
+        F.sum(guarded_sign * expr).alias(name)
+        for name, expr in measures.items()
     ]
     return changes.groupBy(*group_cols).agg(*aggs)
 
@@ -322,6 +313,11 @@ def apply_changes(changes: DataFrame, sink: ParquetMergeSink,
         [f for f in changes.schema.fields if f.name != "_change_type"]
     )
     sink.evolve_schema(diff_schemas(sink.current_schema(), incoming))
+    # a pre-image changelog (preimages=True) carries TWO rows per update;
+    # feeding both to the MERGE would write duplicate physical rows for
+    # the key (the full-outer join assumes one change row per key) —
+    # drop the pre-images, they exist for aggregate maintenance only
+    changes = changes.filter(F.col("_change_type") != "update_preimage")
     ch = changes.withColumn(
         "op",
         F.when(F.col("_change_type") == DELETE, F.lit("delete"))

@@ -27,7 +27,10 @@ import os
 
 from pyspark.sql import DataFrame
 
-from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
+from opendataloader_pdf_spark.cdc.storage import (
+    ParquetMergeSink,
+    manifest_data_paths,
+)
 
 
 def _manifest_at(sink: ParquetMergeSink, snapshot_id: int) -> dict:
@@ -50,6 +53,22 @@ def retained_snapshots(sink: ParquetMergeSink) -> list[int]:
     return sorted(out)
 
 
+def pinned_view(sink: ParquetMergeSink, snapshot_id: int) -> ParquetMergeSink:
+    """Snapshot-pinned shallow view of the sink: same spark/root/config,
+    but ``manifest()`` returns the retained manifest of ``snapshot_id``
+    forever. THE single implementation of the pin trick — time travel,
+    tag reads, and the changelog's two-sided diff all build on it."""
+    m = _manifest_at(sink, snapshot_id)
+
+    class _Pinned(type(sink)):
+        def manifest(self) -> dict:  # noqa: D102
+            return m
+
+    pinned = object.__new__(_Pinned)
+    pinned.__dict__.update(sink.__dict__)
+    return pinned
+
+
 def read_at(sink: ParquetMergeSink, snapshot_id: int,
             include_deleted: bool = False) -> DataFrame:
     """Time-travel read: the table as of ``snapshot_id``.
@@ -58,15 +77,7 @@ def read_at(sink: ParquetMergeSink, snapshot_id: int,
     a snapshot-pinned shallow view of the same sink object, so bucket
     pruning, schema alignment, and (for a merge-on-read sink) delta
     resolution all behave exactly as a HEAD read of that era did."""
-    m = _manifest_at(sink, snapshot_id)
-
-    class _Pinned(type(sink)):  # shallow view; shares spark/root/config
-        def manifest(self) -> dict:  # noqa: D102
-            return m
-
-    pinned = object.__new__(_Pinned)
-    pinned.__dict__.update(sink.__dict__)
-    return pinned.read(include_deleted=include_deleted)
+    return pinned_view(sink, snapshot_id).read(include_deleted=include_deleted)
 
 
 def schema_at(sink: ParquetMergeSink, snapshot_id: int):
@@ -101,7 +112,9 @@ def tags(sink: ParquetMergeSink) -> dict[str, int]:
     """All named refs → snapshot id."""
     out: dict[str, int] = {}
     for fn in os.listdir(sink.meta_dir):
-        if fn.startswith("ref-"):
+        # skip _atomic_write temp leftovers (ref-<name>.tmp.<hex> from a
+        # crash mid-tag) — reading one would raise or pin a phantom tag
+        if fn.startswith("ref-") and ".tmp." not in fn:
             with open(os.path.join(sink.meta_dir, fn)) as f:
                 out[fn[len("ref-"):]] = int(f.read().strip())
     return out
@@ -194,8 +207,11 @@ def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
     removed only AFTER the files they exclusively referenced are gone —
     a crash mid-way leaves extra (still-referenced or orphan) files,
     never a retained manifest with missing files."""
-    all_sids = retained_snapshots(sink)
     head_sid = sink.snapshot_id()
+    # a dangling staged chain (WAP) owns every manifest past HEAD: those
+    # are not published history — they neither count toward keep_last nor
+    # get expired here (wap.abort owns their lifecycle)
+    all_sids = [s for s in retained_snapshots(sink) if s <= head_sid]
     # tagged snapshots are durable reader horizons — never expired
     keep = set(all_sids[-keep_last:]) | {head_sid} | set(tags(sink).values())
     expired = [s for s in all_sids if s not in keep]
@@ -205,12 +221,7 @@ def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
     def live_paths(sids) -> set[str]:
         out: set[str] = set()
         for sid in sids:
-            man = _manifest_at(sink, sid)
-            for ent in man["buckets"].values():
-                if ent.get("path"):
-                    out.add(ent["path"])
-                for d in ent.get("deltas", []):
-                    out.add(d["path"])
+            out |= manifest_data_paths(_manifest_at(sink, sid))
         return out
 
     live = live_paths(sorted(keep))
@@ -247,12 +258,7 @@ def orphan_files(sink: ParquetMergeSink) -> list[str]:
     no in-flight commit could still be writing them."""
     live: set[str] = set()
     for sid in retained_snapshots(sink):
-        man = _manifest_at(sink, sid)
-        for ent in man["buckets"].values():
-            if ent.get("path"):
-                live.add(ent["path"])
-            for d in ent.get("deltas", []):
-                live.add(d["path"])
+        live |= manifest_data_paths(_manifest_at(sink, sid))
     out: list[str] = []
     for snap in sorted(os.listdir(sink.data_dir)):
         snap_full = os.path.join(sink.data_dir, snap)

@@ -51,6 +51,20 @@ from pyspark.sql import types as T
 HEAD = "HEAD"
 
 
+def manifest_data_paths(m: dict) -> set[str]:
+    """Every data-dir-relative path a manifest references (bucket bases +
+    MoR delta chains). THE single definition of 'what a manifest keeps
+    alive' — snapshot expiry, orphan scan, and staged-chain abort must
+    all agree on it or one of them deletes referenced files."""
+    out: set[str] = set()
+    for ent in m["buckets"].values():
+        if ent.get("path"):
+            out.add(ent["path"])
+        for d in ent.get("deltas", []):
+            out.add(d["path"])
+    return out
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:

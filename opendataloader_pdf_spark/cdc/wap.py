@@ -24,13 +24,22 @@ from __future__ import annotations
 import json
 import os
 
-from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink, _atomic_write
+from opendataloader_pdf_spark.cdc.storage import (
+    ParquetMergeSink,
+    _atomic_write,
+    manifest_data_paths,
+)
 
 STAGE = "STAGE"
+STAGE_BASE = "STAGE_BASE"
 
 
 def _stage_path(sink: ParquetMergeSink) -> str:
     return os.path.join(sink.meta_dir, STAGE)
+
+
+def _stage_base_path(sink: ParquetMergeSink) -> str:
+    return os.path.join(sink.meta_dir, STAGE_BASE)
 
 
 def begin_staged(sink: ParquetMergeSink, resume: bool = False) -> ParquetMergeSink:
@@ -50,9 +59,13 @@ def begin_staged(sink: ParquetMergeSink, resume: bool = False) -> ParquetMergeSi
             "pass resume=True to continue it"
         )
     if not os.path.exists(sp):
-        # stage starts where HEAD is now
+        # stage starts where HEAD is now; remember WHICH head, so publish
+        # can detect any concurrent HEAD writer (even one that re-used
+        # snapshot ids at or below the staged tip)
         with open(sink._head_path()) as f:
-            _atomic_write(sp, f.read().strip())
+            head_name = f.read().strip()
+        _atomic_write(sp, head_name)
+        _atomic_write(_stage_base_path(sink), head_name)
 
     class _Staged(type(sink)):
         def _head_path(self) -> str:  # noqa: D102
@@ -88,15 +101,22 @@ def publish(sink: ParquetMergeSink) -> dict:
         staged_name = f.read().strip()
     with open(os.path.join(sink.meta_dir, staged_name)) as f:
         staged_m = json.load(f)
-    head_m = sink.manifest()
-    if head_m["snapshot_id"] > staged_m["snapshot_id"]:
-        raise ValueError(
-            f"HEAD advanced to snapshot {head_m['snapshot_id']} past the "
-            f"staged chain ({staged_m['snapshot_id']}) — rebase by "
-            f"re-staging against the new HEAD"
-        )
+    with open(sink._head_path()) as f:
+        head_now = f.read().strip()
+    base_path = _stage_base_path(sink)
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            head_at_stage = f.read().strip()
+        if head_now != head_at_stage:
+            raise ValueError(
+                f"HEAD moved from {head_at_stage} to {head_now} since the "
+                f"stage began (concurrent writer) — the staged chain no "
+                f"longer descends from HEAD; abort and re-stage"
+            )
     _atomic_write(sink._head_path(), staged_name)
     os.remove(sp)
+    if os.path.exists(base_path):
+        os.remove(base_path)
     return staged_m
 
 
@@ -118,15 +138,7 @@ def abort(sink: ParquetMergeSink) -> dict:
         if os.path.exists(os.path.join(sink.meta_dir, f"manifest-{s}.json"))
     ]
 
-    def paths_of(m: dict) -> set[str]:
-        out = set()
-        for ent in m["buckets"].values():
-            if ent.get("path"):
-                out.add(ent["path"])
-            for d in ent.get("deltas", []):
-                out.add(d["path"])
-        return out
-
+    paths_of = manifest_data_paths
     live = paths_of(head_m)
     # live also includes every OLDER retained manifest's files
     for name in os.listdir(sink.meta_dir):
@@ -157,7 +169,9 @@ def abort(sink: ParquetMergeSink) -> dict:
         p = os.path.join(sink.meta_dir, f"manifest-{s}.json")
         with open(p) as f:
             for c in json.load(f).get("commits", []):
-                if c["snapshot_id"] > head_sid:
+                # compaction commits (MoR) carry no batch_id — they have
+                # no audit partition to drop
+                if c["snapshot_id"] > head_sid and c.get("batch_id") is not None:
                     staged_batches.add(c["batch_id"])
         os.remove(p)
     import shutil as _shutil
@@ -167,6 +181,9 @@ def abort(sink: ParquetMergeSink) -> dict:
         if os.path.isdir(adir):
             _shutil.rmtree(adir)
     os.remove(sp)
+    base_path = _stage_base_path(sink)
+    if os.path.exists(base_path):
+        os.remove(base_path)
     # empty snapshot dirs left by removed buckets
     for name in os.listdir(sink.data_dir):
         full = os.path.join(sink.data_dir, name)

@@ -242,8 +242,29 @@ def test_preimage_changelog_and_incremental_agg(spark, replayed):
     }
     assert maintained == want
 
-    # a post-only changelog is rejected loudly
+    # a post-only changelog is rejected loudly — the guard rides the agg
+    # expression (raise_error), so it surfaces at action time with no
+    # extra validation scan
     import pytest as _pytest
 
-    with _pytest.raises(ValueError):
-        delta_counts(changes_between(sink, sid_a, head), ["source"])
+    with _pytest.raises(Exception, match="pre-image changelog"):
+        delta_counts(changes_between(sink, sid_a, head), ["source"]).collect()
+
+    # apply_changes tolerates a pre-image changelog: pre-image rows are
+    # dropped, not double-applied (no duplicate physical rows per key)
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        apply_changes,
+        schema_at,
+    )
+
+    import tempfile
+
+    rep = ParquetMergeSink(
+        sink.spark, tempfile.mkdtemp(prefix="cdfpre_"), n_buckets=4
+    )
+    rep.initialize(read_at(sink, sid_a), schema_at(sink, sid_a))
+    apply_changes(cdf, rep)
+    got = rep.read().groupBy("doc_id").count().filter("count > 1").count()
+    assert got == 0
+    assert rep.read().count() == read_at(sink, head).count()

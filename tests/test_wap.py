@@ -119,3 +119,38 @@ def test_publish_rejects_moved_head(spark, events, tmp_path):
     ReplayEngine(spark, sink).replay(events, batch_size=2_000)
     with pytest.raises(ValueError):
         publish(sink)
+
+
+def test_abort_tolerates_mor_compaction_commits(spark, events, tmp_path):
+    """A staged MoR chain whose compaction committed during staging must
+    abort cleanly (compaction commits carry no batch_id)."""
+    from opendataloader_pdf_spark.cdc import MergeOnReadSink
+
+    sink = MergeOnReadSink(spark, str(tmp_path / "m1"), n_buckets=4,
+                           compact_ratio=1.0)
+    ReplayEngine(spark, sink).bootstrap(None)
+    staged = begin_staged(sink)
+    ReplayEngine(spark, staged).replay(events, batch_size=1_500, max_batches=3)
+    staged.compact()  # appends a batch_id-less compaction commit
+    res = abort_staged(sink)
+    assert res["aborted_snapshots"]
+    assert sink.read().count() == 0
+    assert not os.path.exists(os.path.join(sink.meta_dir, "STAGE"))
+    # a fresh stage works after the abort
+    staged = begin_staged(sink)
+    ReplayEngine(spark, staged).replay(events, batch_size=1_500, max_batches=1)
+    publish(sink)
+    assert sink.read().count() > 0
+
+
+def test_publish_rejects_head_move_below_staged_tip(spark, events, tmp_path):
+    """A concurrent HEAD commit at or BELOW the staged tip must also be
+    rejected (the name-based base check, not just a snapshot-id race)."""
+    sink = _mk(spark, tmp_path, "t5")
+    staged = begin_staged(sink)
+    ReplayEngine(spark, staged).replay(events, batch_size=1_500, max_batches=3)
+    # concurrent writer lands ONE batch on HEAD: its snapshot id is below
+    # the staged tip, so an id comparison alone would publish silently
+    ReplayEngine(spark, sink).replay(events, batch_size=1_500, max_batches=1)
+    with pytest.raises(ValueError, match="concurrent writer"):
+        publish(sink)
