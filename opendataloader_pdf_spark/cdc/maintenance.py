@@ -155,6 +155,17 @@ def rescale_buckets(sink: ParquetMergeSink, new_n_buckets: int) -> dict:
     changes, but no lsn moves). Returns the commit record."""
     import time
 
+    # same quiesce-writers contract as Iceberg's partition-spec change: a
+    # dangling STAGE chain shares the manifest-{sid} filename namespace
+    # with HEAD, so committing head_sid+1 here would overwrite the staged
+    # chain's first manifest and corrupt its checkpoint
+    if os.path.exists(os.path.join(sink.meta_dir, "STAGE")):
+        raise ValueError(
+            "a staged (WAP) chain exists — publish or abort it before "
+            "rescaling; staged and HEAD commits share the manifest "
+            "namespace"
+        )
+
     m = sink.manifest()  # adopts current n_buckets
     old_n = sink.n_buckets
     if new_n_buckets == old_n:
@@ -189,7 +200,11 @@ def rescale_buckets(sink: ParquetMergeSink, new_n_buckets: int) -> dict:
     m["buckets"] = buckets
     m["snapshot_id"] = sid
     m["n_buckets"] = new_n_buckets
-    rec = {"batch_id": m["batch_id"], "snapshot_id": sid,
+    # batch_id=None: a rescale is a metadata/compaction commit, not a
+    # replay batch — stamping the last replay batch_id here would make
+    # wap.abort treat a staged rescale as owning that batch's (already
+    # published) audit partition and delete visible lineage
+    rec = {"batch_id": None, "snapshot_id": sid,
            "buckets": sorted(int(b) for b in buckets),
            "rescale": [old_n, new_n_buckets], "wall_ts": time.time()}
     m["commits"].append(rec)

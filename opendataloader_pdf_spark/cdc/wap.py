@@ -42,6 +42,19 @@ def _stage_base_path(sink: ParquetMergeSink) -> str:
     return os.path.join(sink.meta_dir, STAGE_BASE)
 
 
+def _require_base_view(sink: ParquetMergeSink, op: str) -> None:
+    """publish/abort must receive the BASE sink, not the staged view
+    begin_staged returned: the staged instance's _head_path resolves to
+    STAGE, so abort(staged) would compute head at the staged tip, delete
+    nothing, and strand the staged manifests past HEAD forever."""
+    if os.path.abspath(sink._head_path()) == os.path.abspath(_stage_path(sink)):
+        raise ValueError(
+            f"{op}() was passed the staged view — pass the base sink "
+            f"(the object begin_staged was called ON, not the one it "
+            f"returned)"
+        )
+
+
 def begin_staged(sink: ParquetMergeSink, resume: bool = False) -> ParquetMergeSink:
     """A staged view of the sink: commits chain under STAGE, invisible to
     HEAD readers. Pass the view to ReplayEngine (or merge directly); then
@@ -61,11 +74,15 @@ def begin_staged(sink: ParquetMergeSink, resume: bool = False) -> ParquetMergeSi
     if not os.path.exists(sp):
         # stage starts where HEAD is now; remember WHICH head, so publish
         # can detect any concurrent HEAD writer (even one that re-used
-        # snapshot ids at or below the staged tip)
+        # snapshot ids at or below the staged tip). STAGE_BASE is written
+        # FIRST: a crash between the two writes then leaves a base file
+        # with no STAGE pointer (harmless — rewritten here next time),
+        # never a resumable STAGE chain missing the base publish() needs
+        # for its concurrent-writer check.
         with open(sink._head_path()) as f:
             head_name = f.read().strip()
-        _atomic_write(sp, head_name)
         _atomic_write(_stage_base_path(sink), head_name)
+        _atomic_write(sp, head_name)
 
     class _Staged(type(sink)):
         def _head_path(self) -> str:  # noqa: D102
@@ -94,6 +111,7 @@ def publish(sink: ParquetMergeSink) -> dict:
     become visible to every reader at once. Returns the published
     manifest. Raises if HEAD moved since the stage began (concurrent
     writer): WAP assumes one writer, same as the engine itself."""
+    _require_base_view(sink, "publish")
     sp = _stage_path(sink)
     if not os.path.exists(sp):
         raise ValueError("no staged chain to publish")
@@ -104,19 +122,24 @@ def publish(sink: ParquetMergeSink) -> dict:
     with open(sink._head_path()) as f:
         head_now = f.read().strip()
     base_path = _stage_base_path(sink)
-    if os.path.exists(base_path):
-        with open(base_path) as f:
-            head_at_stage = f.read().strip()
-        if head_now != head_at_stage:
-            raise ValueError(
-                f"HEAD moved from {head_at_stage} to {head_now} since the "
-                f"stage began (concurrent writer) — the staged chain no "
-                f"longer descends from HEAD; abort and re-stage"
-            )
+    if not os.path.exists(base_path):
+        # base is written before STAGE, so a missing base means manual
+        # tampering — without it the concurrent-writer check is blind
+        raise ValueError(
+            "STAGE exists but STAGE_BASE is missing — cannot verify the "
+            "staged chain still descends from HEAD; abort and re-stage"
+        )
+    with open(base_path) as f:
+        head_at_stage = f.read().strip()
+    if head_now != head_at_stage:
+        raise ValueError(
+            f"HEAD moved from {head_at_stage} to {head_now} since the "
+            f"stage began (concurrent writer) — the staged chain no "
+            f"longer descends from HEAD; abort and re-stage"
+        )
     _atomic_write(sink._head_path(), staged_name)
     os.remove(sp)
-    if os.path.exists(base_path):
-        os.remove(base_path)
+    os.remove(base_path)
     return staged_m
 
 
@@ -124,8 +147,14 @@ def abort(sink: ParquetMergeSink) -> dict:
     """Discard the staged chain: delete its manifests, every data file
     referenced ONLY by them, and their audit-table partitions. HEAD
     readers were never affected."""
+    _require_base_view(sink, "abort")
     sp = _stage_path(sink)
     if not os.path.exists(sp):
+        # a crash between the STAGE_BASE and STAGE writes can leave a
+        # dangling base with no chain — reclaim it here
+        base_path = _stage_base_path(sink)
+        if os.path.exists(base_path):
+            os.remove(base_path)
         return {"aborted_snapshots": [], "deleted_files": 0}
     with open(sp) as f:
         staged_name = f.read().strip()
@@ -184,8 +213,9 @@ def abort(sink: ParquetMergeSink) -> dict:
     base_path = _stage_base_path(sink)
     if os.path.exists(base_path):
         os.remove(base_path)
-    # empty snapshot dirs left by removed buckets
-    for name in os.listdir(sink.data_dir):
+    # empty snapshot dirs left by removed buckets (a never-written sink
+    # has no data dir at all — nothing to sweep)
+    for name in os.listdir(sink.data_dir) if os.path.isdir(sink.data_dir) else []:
         full = os.path.join(sink.data_dir, name)
         if os.path.isdir(full) and not os.listdir(full):
             os.rmdir(full)

@@ -47,6 +47,30 @@ def _t(spark, sf_dir, name):
     return load_table(spark, sf_dir, name)
 
 
+def _engine_workdir(prefix: str, sf_dir: str) -> str:
+    """Scratch root for catalog entries that replay through the REAL
+    engine (cdc_changelog / cdc_incremental_stats / cdc_wap_publish /
+    s4_streaming_tail). Honors SPARK_GRAFT_BENCH_DIR like bench.py, and
+    suffixes the default /dev/shm path with the pid so two concurrent
+    harness runs on the same scale factor never clobber each other; the
+    per-pid default tree is reclaimed at interpreter exit (the returned
+    frames are consumed before then — the driver collects within the
+    process that built them)."""
+    import atexit
+    import os
+    import shutil
+
+    base = os.environ.get("SPARK_GRAFT_BENCH_DIR")
+    if base is None:
+        base = f"/dev/shm/odl_query_catalogs_{os.getpid()}"
+        if not getattr(_engine_workdir, "_cleanup_registered", False):
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+            _engine_workdir._cleanup_registered = True
+    d = os.path.join(base, f"{prefix}_{os.path.basename(sf_dir.rstrip('/'))}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 # =====================================================================
 # Headline analytics (scan → filter → agg → join family; S1, A-family)
 # =====================================================================
@@ -2613,9 +2637,7 @@ def cdc_changelog(spark, sf_dir):
     )
     thr = int(ch.agg(F.max("lsn")).collect()[0][0]) // 2 + 1
 
-    root = os.path.join(
-        "/dev/shm", f"cdf_catalog_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    root = _engine_workdir("cdf_catalog", sf_dir)
     sink = ParquetMergeSink(spark, root, n_buckets=16)
     sink.drop()
     eng = ReplayEngine(spark, sink)
@@ -2689,9 +2711,7 @@ def cdc_incremental_stats(spark, sf_dir):
         F.col("event_id").alias("delivery_seq"),
     )
     thr = int(ch.agg(F.max("lsn")).collect()[0][0]) // 2 + 1
-    root = os.path.join(
-        "/dev/shm", f"imv_catalog_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    root = _engine_workdir("imv_catalog", sf_dir)
     sink = ParquetMergeSink(spark, root, n_buckets=16)
     sink.drop()
     eng = ReplayEngine(spark, sink)

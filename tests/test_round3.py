@@ -1,0 +1,113 @@
+"""Round-3 regression tests for the ADVICE findings: rescale commit
+records are batch_id-less metadata commits, rescale refuses a dangling
+staged chain, and publish/abort reject the staged view + tampered
+pointers."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from opendataloader_pdf_spark.cdc import (
+    ParquetMergeSink,
+    ReplayEngine,
+    abort_staged,
+    begin_staged,
+    publish,
+    rescale_buckets,
+)
+from opendataloader_pdf_spark.datagen import gen_change_events
+
+
+@pytest.fixture(scope="module")
+def events(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("r3")
+    gen_change_events(spark, 4_000, 400, seed=31).write.mode(
+        "overwrite"
+    ).parquet(str(d / "ev"))
+    return spark.read.parquet(str(d / "ev"))
+
+
+def _mk(spark, tmp_path, name, n_buckets=8):
+    sink = ParquetMergeSink(spark, str(tmp_path / name), n_buckets=n_buckets)
+    ReplayEngine(spark, sink).bootstrap(None)
+    return sink
+
+
+def test_rescale_commit_record_is_batchless(spark, events, tmp_path):
+    """A rescale is a metadata commit: its record must carry
+    batch_id=None (like MoR compaction) so wap.abort never treats it as
+    owning a replay batch's audit partition — while the manifest-level
+    replay checkpoint (m['batch_id']) is preserved for resume."""
+    sink = _mk(spark, tmp_path, "t1")
+    ReplayEngine(spark, sink).replay(events, batch_size=1_000, max_batches=2)
+    ckpt = sink.last_batch_id()
+    rec = rescale_buckets(sink, 16)
+    assert rec["batch_id"] is None
+    assert sink.last_batch_id() == ckpt  # resume point untouched
+    # and the audit partitions of published batches survive a later
+    # staged-chain abort that includes no commits of its own
+    audit_before = sink.read_audit().count()
+    begin_staged(sink)
+    abort_staged(sink)
+    assert sink.read_audit().count() == audit_before
+
+
+def test_rescale_refuses_dangling_stage(spark, events, tmp_path):
+    """Staged and HEAD chains share the manifest-{sid} namespace; a
+    rescale committed under a dangling STAGE would overwrite the staged
+    chain's first manifest. It must refuse instead."""
+    sink = _mk(spark, tmp_path, "t2")
+    staged = begin_staged(sink)
+    ReplayEngine(spark, staged).replay(events, batch_size=1_000, max_batches=1)
+    with pytest.raises(ValueError, match="staged"):
+        rescale_buckets(sink, 16)
+    abort_staged(sink)
+    rec = rescale_buckets(sink, 16)  # fine once the stage is gone
+    assert rec["rescale"] == [8, 16]
+
+
+def test_publish_and_abort_reject_staged_view(spark, events, tmp_path):
+    """publish/abort must be called on the BASE sink; the staged view's
+    _head_path resolves to STAGE, so accepting it would strand the
+    staged manifests past HEAD forever."""
+    sink = _mk(spark, tmp_path, "t3")
+    staged = begin_staged(sink)
+    ReplayEngine(spark, staged).replay(events, batch_size=1_000, max_batches=1)
+    with pytest.raises(ValueError, match="staged view"):
+        publish(staged)
+    with pytest.raises(ValueError, match="staged view"):
+        abort_staged(staged)
+    # the base sink still works, and the guard changed nothing on disk
+    publish(sink)
+    assert sink.read().count() > 0
+
+
+def test_publish_requires_stage_base(spark, events, tmp_path):
+    """STAGE_BASE is the concurrent-writer witness; publish must refuse
+    when it is missing rather than skip the HEAD-moved check."""
+    sink = _mk(spark, tmp_path, "t4")
+    staged = begin_staged(sink)
+    ReplayEngine(spark, staged).replay(events, batch_size=1_000, max_batches=1)
+    os.remove(os.path.join(sink.meta_dir, "STAGE_BASE"))
+    with pytest.raises(ValueError, match="STAGE_BASE"):
+        publish(sink)
+    res = abort_staged(sink)  # abort still reclaims the chain
+    assert res["aborted_snapshots"]
+
+
+def test_abort_reclaims_dangling_stage_base(spark, tmp_path):
+    """A crash between the STAGE_BASE and STAGE writes leaves a base
+    file with no chain; abort cleans it up as a no-op."""
+    sink = _mk(spark, tmp_path, "t5")
+    base = os.path.join(sink.meta_dir, "STAGE_BASE")
+    with open(sink._head_path()) as f:
+        head = f.read().strip()
+    with open(base, "w") as f:
+        f.write(head)
+    res = abort_staged(sink)
+    assert res == {"aborted_snapshots": [], "deleted_files": 0}
+    assert not os.path.exists(base)
+    begin_staged(sink)  # and a fresh stage starts cleanly
+    abort_staged(sink)
