@@ -5,12 +5,13 @@ Reference parity: image extraction/encoding sinks (ImagesUtils.write,
 core/utils/ImagesUtils.java:48-60; Base64ImageUtils.java → SURVEY.md §2.1
 K6) — generalized to the training-pipeline media path.
 
-The decode step is STUBBED (this container has no image/audio libs): when
-Pillow is absent, ``decode_images`` produces a deterministic fake —
-metadata derived from the payload hash — via ``_fake_decode``. The
-Spark-side plumbing is real and tested: schema, Arrow batch shape,
-mapInPandas signature, per-partition batching, and the frame-sampling
-row-explosion pattern are exactly what a real decoder plugs into.
+PNG payloads are decoded for REAL by a pure-stdlib codec (zlib + struct:
+chunk walk with CRC verification, IDAT inflate, per-scanline unfilter for
+all five PNG filter types) — no image library needed. Non-PNG payloads
+(the container has no audio/video libs) fall back to a deterministic
+fake derived from the payload hash, keeping the identical Spark plumbing
+— schema, Arrow batch shape, mapInPandas signature, per-partition
+batching — exercised either way.
 
 Scale notes: mapInPandas streams Arrow record batches — payloads never
 materialize as Python row objects; batch size bounded by
@@ -29,12 +30,128 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # real decoder if available (not in this container)
-    from PIL import Image  # noqa: F401
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type → samples/pixel
 
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
+
+def encode_png_gray(arr: np.ndarray) -> bytes:
+    """Minimal PNG encoder for 8-bit grayscale (h, w) uint8 arrays.
+
+    Scanline filters rotate None/Sub/Up (types 0/1/2) so every decode of
+    an encoded image exercises real unfiltering, not just the identity
+    path. Emits IHDR + one IDAT + IEND with correct CRCs — readable by
+    any standards-compliant viewer."""
+    import struct
+    import zlib
+
+    h, w = arr.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int16)
+    for y in range(h):
+        line = arr[y].astype(np.int16)
+        ft = y % 3
+        if ft == 0:
+            filt = line
+        elif ft == 1:  # Sub: delta vs the previous pixel in the row
+            filt = line.copy()
+            filt[1:] -= line[:-1]
+        else:  # Up: delta vs the same pixel one row up
+            filt = line - prev
+        raw.append(ft)
+        raw += (filt % 256).astype(np.uint8).tobytes()
+        prev = line
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (all five types, RFC 2083 §6)."""
+    stride = w * bpp
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8,
+                             count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        if ft == 0:
+            pass
+        elif ft == 1:  # Sub — running sum along the row (mod 256)
+            if bpp == 1:
+                line = np.cumsum(line, dtype=np.int64).astype(np.uint8)
+            else:
+                for i in range(bpp, stride):
+                    line[i] = (int(line[i]) + int(line[i - bpp])) & 0xFF
+        elif ft == 2:  # Up
+            line = (line.astype(np.int16) + prev.astype(np.int16)).astype(np.uint8)
+        elif ft == 3:  # Average
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                line[i] = (int(line[i]) + ((a + int(prev[i])) >> 1)) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                a = int(line[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (int(line[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ft} at row {y}")
+        out[y] = line
+        prev = line
+    return out.reshape(-1)
+
+
+def decode_png(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode a (non-interlaced, 8-bit) PNG with zlib + struct only.
+
+    Returns (width, height, channels, bit_depth, flat uint8 pixels).
+    Verifies every chunk CRC — a corrupted payload raises instead of
+    yielding silent garbage stats."""
+    import struct
+    import zlib
+
+    if data[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    idat = bytearray()
+    w = h = channels = bit_depth = None
+    while pos + 12 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = bytes(data[pos + 4:pos + 8])
+        payload = bytes(data[pos + 8:pos + 8 + ln])
+        (crc,) = struct.unpack(">I", data[pos + 8 + ln:pos + 12 + ln])
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = (
+                struct.unpack(">IIBBBBB", payload)
+            )
+            if bit_depth != 8 or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (bit_depth={bit_depth}, "
+                    f"interlace={interlace})"
+                )
+            channels = _PNG_CHANNELS[color_type]
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if w is None:
+        raise ValueError("PNG has no IHDR chunk")
+    pixels = _unfilter(zlib.decompress(bytes(idat)), w, h, channels)
+    return w, h, channels, bit_depth, pixels
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -97,20 +214,82 @@ def _fake_decode(pdf: pd.DataFrame, feat_dim: int) -> pd.DataFrame:
 
 
 def decode_images(media: DataFrame, feat_dim: int = 16) -> DataFrame:
-    """Decode + feature-extract media payloads. Real decode requires
-    Pillow (NotImplementedError keeps the contract honest); otherwise the
-    deterministic fake exercises the identical Spark plumbing."""
+    """Decode + feature-extract media payloads.
+
+    PNG payloads take the REAL decode path (stdlib ``decode_png``): true
+    width/height/channels and a feature vector of the first ``feat_dim``
+    pixels scaled to [0, 1]. Other payload kinds (no audio/video libs in
+    this container) get the deterministic hash-derived fake over the same
+    Arrow plumbing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if _HAVE_PIL:
-                raise NotImplementedError(
-                    "real Pillow decode path not implemented in this "
-                    "container build — plug Image.open over pdf['payload'] here"
-                )
-            yield _fake_decode(pdf, feat_dim)
+            is_png = pdf["payload"].map(
+                lambda p: p is not None and bytes(p[:8]) == PNG_MAGIC
+            )
+            parts = []
+            if is_png.any():
+                png = pdf[is_png]
+                rows = {"media_id": png["media_id"].values,
+                        "width": [], "height": [], "channels": [],
+                        "feature": []}
+                for p in png["payload"]:
+                    w, h, ch, _bd, px = decode_png(bytes(p))
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["channels"].append(ch)
+                    feat = (px[:feat_dim].astype(np.float32) / 255.0)
+                    if len(feat) < feat_dim:
+                        feat = np.pad(feat, (0, feat_dim - len(feat)))
+                    rows["feature"].append(feat)
+                parts.append(pd.DataFrame(rows).astype(
+                    {"width": np.int32, "height": np.int32,
+                     "channels": np.int32}
+                ))
+            if (~is_png).any():
+                parts.append(_fake_decode(pdf[~is_png], feat_dim))
+            if parts:
+                yield pd.concat(parts, ignore_index=True)
 
     return media.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+PNG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bit_depth", T.IntegerType(), True),
+        T.StructField("pixel_sum", T.LongType(), True),
+    ]
+)
+
+
+def decode_png_stats(media: DataFrame) -> DataFrame:
+    """Real PNG decode → scalar pixel statistics (strict-oracle shape:
+    the pixel_sum is wrong unless chunk walk, inflate, and unfiltering
+    are all correct)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"].values,
+                   "width": [], "height": [], "channels": [],
+                   "bit_depth": [], "pixel_sum": []}
+            for p in pdf["payload"]:
+                w, h, ch, bd, px = decode_png(bytes(p))
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["bit_depth"].append(bd)
+                out["pixel_sum"].append(int(px.astype(np.int64).sum()))
+            yield pd.DataFrame(out).astype(
+                {"width": np.int32, "height": np.int32,
+                 "channels": np.int32, "bit_depth": np.int32,
+                 "pixel_sum": np.int64}
+            )
+
+    return media.mapInPandas(run, schema=PNG_STATS_SCHEMA)
 
 
 def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> DataFrame:
@@ -138,6 +317,34 @@ def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> Da
             )
 
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def documents_as_png_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL PNG payloads from the documents fixture: for each
+    doc a small grayscale gradient image with width = 4 + doc_id % 29,
+    height = 4 + doc_id % 23, pixel(x, y) = (doc_id + x + 3y) % 256 —
+    closed-form dimensions/content so a SQL oracle can predict the
+    decoded statistics exactly while the decode itself does full chunk /
+    CRC / inflate / unfilter work."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"].astype(np.int64):
+                w = int(4 + did % 29)
+                h = int(4 + did % 23)
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                arr = ((did + x[None, :] + 3 * y[:, None]) % 256).astype(np.uint8)
+                payloads.append(encode_png_gray(arr))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(np.int64).values,
+                 "kind": "image", "payload": payloads, "meta": None}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema=MEDIA_SCHEMA
+    )
 
 
 def documents_as_media(docs: DataFrame, id_col: str = "doc_id",

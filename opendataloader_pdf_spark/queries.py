@@ -1886,28 +1886,39 @@ def k1_json_lines(spark, sf_dir):
 
 
 @register(
-    "multimodal_decode", None,
-    doc="Multimodal decode/feature plumbing via mapInPandas over binary "
-        "payloads (stubbed deterministic decode; K6 ImagesUtils analog). "
-        "The feature vector is projected to scalar digests (dim + rounded "
-        "L1 mass) — the driver canonicalizer can't sort raw array cells.",
+    "multimodal_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (4 + doc_id % 29)::INT AS width,
+             (4 + doc_id % 23)::INT AS height
+      FROM documents
+    )
+    SELECT doc_id AS media_id, width, height,
+           1 AS channels, 8 AS bit_depth,
+           list_sum(list_transform(range(0, width * height),
+             i -> (doc_id + (i % width) + 3 * (i // width)) % 256
+           ))::BIGINT AS pixel_sum
+    FROM p
+    """,
+    doc="K6 image decode (ImagesUtils.java:48-60 analog) made REAL: each "
+        "document synthesizes a genuine grayscale PNG (closed-form "
+        "gradient content, scanline filters rotating None/Sub/Up), and "
+        "the engine decodes it with the pure-stdlib codec — chunk walk "
+        "with CRC verification, zlib inflate, per-scanline unfiltering — "
+        "inside Arrow-batched mapInPandas. The oracle predicts the "
+        "decoded width/height/pixel_sum from the generator's closed form, "
+        "so any codec error (wrong filter math, bad chunk offsets, "
+        "truncated inflate) breaks the hash.",
 )
 def multimodal_decode(spark, sf_dir):
     from opendataloader_pdf_spark.functions.multimodal import (
-        decode_images,
-        documents_as_media,
+        decode_png_stats,
+        documents_as_png_media,
     )
 
-    media = documents_as_media(_t(spark, sf_dir, "documents"))
-    dec = decode_images(media)
-    feat_mass = F.aggregate(
-        "feature", F.lit(0.0), lambda a, v: a + F.abs(v.cast("double"))
-    )
-    return dec.select(
-        "media_id", "width", "height", "channels",
-        F.size("feature").alias("feat_dim"),
-        F.round(feat_mass, 3).alias("feat_l1"),
-    )
+    media = documents_as_png_media(_t(spark, sf_dir, "documents"))
+    return decode_png_stats(media)
 
 
 @register(

@@ -97,6 +97,87 @@ def test_publish_requires_stage_base(spark, events, tmp_path):
     assert res["aborted_snapshots"]
 
 
+def test_png_codec_roundtrip_all_filters():
+    """encode→decode round-trips random images, and the decoder handles
+    the two filter types the encoder never emits (Average, Paeth) via a
+    hand-filtered PNG. Corrupted chunks must raise, not decode."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from opendataloader_pdf_spark.functions.multimodal import (
+        PNG_MAGIC,
+        decode_png,
+        encode_png_gray,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(1, 1), (4, 4), (23, 29), (26, 32), (7, 31)]:
+        arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        wd, ht, ch, bd, px = decode_png(encode_png_gray(arr))
+        assert (wd, ht, ch, bd) == (w, h, 1, 8)
+        assert np.array_equal(px.reshape(h, w), arr)
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    w, h = 5, 4
+    arr = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+    raw = bytearray()
+    prev = np.zeros(w, dtype=np.int64)
+    for y in range(h):
+        line = arr[y].astype(np.int64)
+        ft = 3 if y % 2 == 0 else 4
+        filt = np.zeros(w, dtype=np.int64)
+        for i in range(w):
+            a = int(line[i - 1]) if i >= 1 else 0
+            b = int(prev[i])
+            c = int(prev[i - 1]) if i >= 1 else 0
+            if ft == 3:
+                pred = (a + b) // 2
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            filt[i] = (line[i] - pred) % 256
+        raw.append(ft)
+        raw += filt.astype(np.uint8).tobytes()
+        prev = line
+    png = (PNG_MAGIC
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+           + chunk(b"IDAT", zlib.compress(bytes(raw)))
+           + chunk(b"IEND", b""))
+    _, _, _, _, px = decode_png(png)
+    assert np.array_equal(px.reshape(h, w), arr)
+
+    bad = bytearray(png)
+    bad[30] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(bad))
+
+
+def test_decode_images_routes_png_payloads(spark):
+    """decode_images dispatches PNG payloads to the real codec (true
+    dimensions) while non-PNG payloads keep the deterministic fake."""
+    from opendataloader_pdf_spark.functions.multimodal import (
+        decode_images,
+        documents_as_media,
+        documents_as_png_media,
+    )
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    real = decode_images(documents_as_png_media(docs)).toPandas()
+    assert (real["width"] == 4 + real["media_id"] % 29).all()
+    assert (real["height"] == 4 + real["media_id"] % 23).all()
+    assert (real["channels"] == 1).all()
+    fake = decode_images(documents_as_media(docs)).toPandas()
+    assert len(fake) == len(real)  # text payloads still decode (fake path)
+    assert (fake["width"] >= 64).all()
+
+
 def test_abort_reclaims_dangling_stage_base(spark, tmp_path):
     """A crash between the STAGE_BASE and STAGE writes leaves a base
     file with no chain; abort cleans it up as a no-op."""
