@@ -135,14 +135,20 @@ def main() -> None:
         QUERIES[name].fn(spark, warm_dir).count()
     spark.catalog.clearCache()
 
+    # per-query timings get the same shared-host treatment as the replay
+    # metric: 3 timed trials each, report the median (single-shot numbers
+    # swung ±30% round-over-round on this contended VM — e.g. the r2
+    # minhash_lsh_dedup "regression" — while the plans were unchanged)
     total0 = time.time()
     qtimes: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name].fn
-        t0 = time.time()
-        n = fn(spark, sf_dir).count()  # count() forces full execution
-        qtimes[name] = round(time.time() - t0, 3)
-        _ = n
+        trials = []
+        for _ in range(3):
+            t0 = time.time()
+            fn(spark, sf_dir).count()  # count() forces full execution
+            trials.append(time.time() - t0)
+        qtimes[name] = round(sorted(trials)[1], 3)
 
     # the similarity queries cache narrow frames by contract (shingles /
     # signatures feed multiple consumers) and leave them to the session;

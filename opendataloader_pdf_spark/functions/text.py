@@ -146,3 +146,49 @@ def dup_bigram_frac(col: Column) -> Column:
         .otherwise(F.lit(0.0)),
         6,
     )
+
+
+# ---------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------
+# One rule list drives BOTH engines: scrub_pii builds the Spark chain
+# and scrub_pii_sql renders the DuckDB oracle from the same tuples, so
+# the two regex stacks cannot drift. Patterns stay inside the regex
+# subset with identical semantics under Java regex (Spark) and RE2
+# (DuckDB): character classes + bounded quantifiers, no lookarounds or
+# backreferences. Rule order matters and is part of the contract:
+# emails first (their local parts may contain digits), SSNs before the
+# short phone form (so `123-45-6789` is typed as <SSN>, not half-eaten
+# as a phone), long phone forms before short ones.
+PII_RULES: list[tuple[str, str]] = [
+    # plus-addressing, dotted locals, multi-label domains
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}", "<EMAIL>"),
+    # SSN with dashes or spaces: 123-45-6789 / 123 45 6789
+    (r"[0-9]{3}[ -][0-9]{2}[ -][0-9]{4}", "<SSN>"),
+    # 10-digit phones with (), dots, dashes or spaces as separators:
+    # (555) 123-4567 / 555.123.4567 / 555 123 4567
+    (r"[(]?[0-9]{3}[)]?[ .-][0-9]{3}[ .-][0-9]{4}", "<PHONE>"),
+    # short/international-prefix form: +1 555-0123
+    (r"[+]?[0-9]{1,2}[ -]?[0-9]{3}[-.][0-9]{4}", "<PHONE>"),
+    # bare 9-digit account ids in an ` id NNNNNNNNN` context
+    (r" id [0-9]{9}", " id <ID>"),
+]
+
+
+def scrub_pii(col: Column) -> Column:
+    """Chained JVM regexp_replace over PII_RULES — codegen'd, no Python.
+    False-positive note: digit runs shaped like a separator-grouped
+    phone (e.g. inside long dotted decimals) are scrubbed too; for a
+    training-corpus redactor that trade is the right default."""
+    out = col
+    for pat, repl in PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def scrub_pii_sql(expr: str) -> str:
+    """The identical scrub as DuckDB SQL, rendered from PII_RULES."""
+    out = expr
+    for pat, repl in PII_RULES:
+        out = f"regexp_replace({out}, '{pat}', '{repl}', 'g')"
+    return out

@@ -97,6 +97,49 @@ def test_publish_requires_stage_base(spark, events, tmp_path):
     assert res["aborted_snapshots"]
 
 
+def test_pii_scrub_adversarial_formats(spark):
+    """Scrub patterns against format variants they were NOT written for:
+    plus-addressed emails, dotted/spaced/parenthesized phones, SSNs with
+    spaces — plus benign strings that must survive untouched. Both
+    engines render from the same PII_RULES list; this exercises the
+    rules themselves beyond the oracle's self-injected block."""
+    import duckdb
+
+    from opendataloader_pdf_spark.functions.text import scrub_pii, scrub_pii_sql
+
+    cases = [
+        # (input, expected after scrub)
+        ("mail john.doe+spam@sub.example.co.uk now",
+         "mail <EMAIL> now"),
+        ("x JOHN_DOE%99@EXAMPLE.IO y", "x <EMAIL> y"),
+        ("call (555) 123-4567 today", "call <PHONE> today"),
+        ("call 555.123.4567 today", "call <PHONE> today"),
+        ("call 555 123 4567 today", "call <PHONE> today"),
+        ("call +1 555-0123 today", "call <PHONE> today"),
+        ("ssn 123-45-6789 on file", "ssn <SSN> on file"),
+        ("ssn 123 45 6789 on file", "ssn <SSN> on file"),
+        ("account id 987654321 ok", "account id <ID> ok"),
+        # benign: short digit runs, versions, 8-digit ids stay
+        ("version 1.2.3 build 42", "version 1.2.3 build 42"),
+        ("id 12345678 is short", "id 12345678 is short"),
+        ("pi is 3.1415", "pi is 3.1415"),
+        ("meet at 12:30-13:45", "meet at 12:30-13:45"),
+    ]
+    df = spark.createDataFrame([(s,) for s, _ in cases], ["text"])
+    from pyspark.sql import functions as F
+
+    got = [r["out"] for r in
+           df.select(scrub_pii(F.col("text")).alias("out")).collect()]
+    assert got == [e for _, e in cases]
+
+    # the SQL rendering of the SAME rules agrees case-by-case
+    con = duckdb.connect()
+    for s, e in cases:
+        lit = "'" + s.replace("'", "''") + "'"
+        (out,) = con.sql(f"select {scrub_pii_sql(lit)}").fetchone()
+        assert out == e, (s, out, e)
+
+
 def test_png_codec_roundtrip_all_filters():
     """encode→decode round-trips random images, and the decoder handles
     the two filter types the encoder never emits (Average, Paeth) via a
