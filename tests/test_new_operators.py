@@ -138,11 +138,15 @@ def test_iceberg_sink_contract(spark, tmp_path):
 
     if not iceberg_available():
         # blocked by environment: the sandbox is fully offline (maven DNS
-        # fails, pip index empty — verified 2026-08-17), so the
-        # iceberg-spark-runtime jar cannot be provisioned. Set
-        # SPARK_ICEBERG_JAR or drop the jar into pyspark/jars to run.
+        # fails, pip index empty — re-verified 2026-08-18: urllib to
+        # repo1.maven.org → "Name or service not known") and no cached
+        # jar exists anywhere on the box (searched ~/.ivy2, ~/.m2,
+        # pyspark/jars, /opt/spark/jars, /usr/share/java — no
+        # iceberg/delta/hudi artifact). Set SPARK_ICEBERG_JAR or drop
+        # iceberg-spark-runtime into pyspark/jars to run this test.
         pytest.skip("no iceberg runtime jar in this environment (offline "
-                    "sandbox; jar not provisionable)")
+                    "sandbox; ivy/maven caches and spark dist scanned — "
+                    "jar not provisionable)")
     from opendataloader_pdf_spark.cdc.iceberg import IcebergSink
     from opendataloader_pdf_spark.cdc import ReplayEngine
     from opendataloader_pdf_spark.datagen import gen_change_events

@@ -161,6 +161,11 @@ def main() -> None:
     p.add_argument("--assemble", nargs="+", default=None,
                    help="skip running: assemble BENCH/BASELINE.md from "
                         "per-level JSON files written by --save-level")
+    p.add_argument("--append-section", default=None,
+                   help="instead of overwriting BENCH/BASELINE.md, append "
+                        "this run as a titled section (used to table the "
+                        "contended local[8]/local[32] pair next to the "
+                        "least-contended headline)")
     a = p.parse_args()
 
     if a.child is not None:
@@ -244,6 +249,41 @@ def write_report(results: dict[int, dict], levels: list[int], a,
         "docs": a.docs,
     }
     print(json.dumps(summary))
+
+    if getattr(a, "append_section", None):
+        md = [
+            "",
+            f"## {a.append_section}",
+            "",
+            "| parallelism | replay secs | events/sec | final rows |",
+            "|---|---|---|---|",
+        ]
+        for c in levels:
+            r = results[c]
+            md.append(
+                f"| local[{c}] | {r['secs']} | {r['events_per_sec']:,} "
+                f"| {r['final_rows']:,} |"
+            )
+        md += [
+            "",
+            f"Speedup {lo}→{hi} cores: {speedup:.2f}× over a {ratio:.0f}× "
+            f"core ratio → efficiency {eff:.3f}"
+            + (f" (per-trial: "
+               f"{', '.join(f'{x:.3f}' for x in per_trial)})."
+               if per_trial else "."),
+            "",
+            "Raw JSON:",
+            "```json",
+            json.dumps(summary, indent=2),
+            "```",
+            "",
+        ]
+        path = os.path.join(REPO, "BENCH", "BASELINE.md")
+        with open(path, "a") as f:
+            f.write("\n".join(md))
+        print(f"appended section to BENCH/BASELINE.md (efficiency={eff:.3f})",
+              file=sys.stderr)
+        return
 
     md = [
         "# BENCH / BASELINE — CDC replay scaling evidence",

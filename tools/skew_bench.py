@@ -20,7 +20,11 @@ skewed and uniform cases within a few percent of each other, which a
 row_number()-window dedup would not (all hot-key rows land on one
 reducer).
 
-    python tools/skew_bench.py [--events 4000000] [--hot-share 0.9]
+    python tools/skew_bench.py [--events 4000000] [--scenarios 0.9:20,0.99:1]
+
+``--scenarios`` is a comma list of ``hot_share:hot_key_count`` pairs;
+each runs default + salted (interleaved, best-of-2), asserts identical
+final tables, and lands as one row-pair in BENCH/SKEW.md.
 """
 
 from __future__ import annotations
@@ -48,46 +52,31 @@ def run(spark, ev, workdir, name, salted, batch_size):
                   "events_per_sec": round(s.events / secs, 1)}
 
 
-def main() -> None:
-    p = argparse.ArgumentParser()
-    p.add_argument("--events", type=int, default=4_000_000)
-    p.add_argument("--docs", type=int, default=200_000)
-    p.add_argument("--hot-frac", type=float, default=0.0001)
-    p.add_argument("--hot-share", type=float, default=0.9)
-    p.add_argument("--batch-size", type=int, default=1_000_000)
-    p.add_argument("--workdir", default="/dev/shm/skew_bench")
-    a = p.parse_args()
-
+def run_scenario(spark, a, hot_share: float, hot_keys: int) -> dict:
     from pyspark.sql import functions as F
 
     from opendataloader_pdf_spark.datagen import gen_change_events
-    from opendataloader_pdf_spark.session import get_spark
 
-    os.makedirs(a.workdir, exist_ok=True)
-    spark = get_spark(app_name="skew-bench", master="local[8]",
-                      shuffle_partitions=32,
-                      extra_conf={"spark.sql.files.maxPartitionBytes": "32m",
-                                  "spark.local.dir": "/dev/shm/skew_local"})
-    spark.sparkContext.setLogLevel("ERROR")
-
-    skew_path = os.path.join(a.workdir, f"skewed_{a.events}")
+    hot_frac = hot_keys / a.docs
+    tag = f"{int(hot_share * 100)}p_{hot_keys}k"
+    skew_path = os.path.join(a.workdir, f"skewed_{a.events}_{tag}")
     if not os.path.exists(skew_path):
         gen_change_events(
             spark, a.events, a.docs, seed=42,
-            hot_frac=a.hot_frac, hot_share=a.hot_share, partitions=64,
+            hot_frac=hot_frac, hot_share=hot_share, partitions=64,
         ).write.mode("overwrite").parquet(skew_path)
     ev = spark.read.parquet(skew_path)
     ev.agg(F.sum(F.size("tokens")), F.sum("lsn"), F.count("op")).collect()
 
     top = (ev.groupBy("doc_id").count().orderBy(F.desc("count")).limit(3)
            .collect())
-    print(f"hottest keys: {[(r['doc_id'], r['count']) for r in top]}",
-          file=sys.stderr)
+    print(f"[{tag}] hottest keys: "
+          f"{[(r['doc_id'], r['count']) for r in top]}", file=sys.stderr)
 
     results = []
     sinks = {}
     for salted in (False, True, False, True):  # interleaved, best-of-2 each
-        sink, r = run(spark, ev, a.workdir, f"tbl_{salted}", salted,
+        sink, r = run(spark, ev, a.workdir, f"tbl_{tag}_{salted}", salted,
                       a.batch_size)
         sinks[salted] = sink
         results.append(r)
@@ -98,41 +87,93 @@ def main() -> None:
     plain = sinks[False].read()
     salted_df = sinks[True].read()
     diff = plain.exceptAll(salted_df).count() + salted_df.exceptAll(plain).count()
-    assert diff == 0, f"salted vs plain differ by {diff} rows!"
+    assert diff == 0, f"[{tag}] salted vs plain differ by {diff} rows!"
 
-    out = {
-        "metric": "skew_replay",
-        "hot_share": a.hot_share,
-        "hot_keys": int(max(1, a.docs * a.hot_frac)),
+    return {
+        "hot_share": hot_share,
+        "hot_keys": hot_keys,
         "events": a.events,
         "hottest_key_events": int(top[0]["count"]),
         "default": best[False],
         "salted": best[True],
         "identical_final_state": True,
     }
-    print(json.dumps(out))
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--events", type=int, default=4_000_000)
+    p.add_argument("--docs", type=int, default=200_000)
+    p.add_argument("--scenarios", default="0.9:20,0.99:1",
+                   help="comma list of hot_share:hot_key_count pairs")
+    p.add_argument("--batch-size", type=int, default=1_000_000)
+    p.add_argument("--workdir", default="/dev/shm/skew_bench")
+    a = p.parse_args()
+
+    from opendataloader_pdf_spark.session import get_spark
+
+    os.makedirs(a.workdir, exist_ok=True)
+    spark = get_spark(app_name="skew-bench", master="local[8]",
+                      shuffle_partitions=32,
+                      extra_conf={"spark.sql.files.maxPartitionBytes": "32m",
+                                  "spark.local.dir": "/dev/shm/skew_local"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scenarios = []
+    for part in a.scenarios.split(","):
+        share, keys = part.split(":")
+        scenarios.append(run_scenario(spark, a, float(share), int(keys)))
+    print(json.dumps({"metric": "skew_replay", "scenarios": scenarios}))
+
+    rows = []
+    for s in scenarios:
+        label = (f"{s['hot_share']:.0%} / {s['hot_keys']} key"
+                 f"{'s' if s['hot_keys'] != 1 else ''} "
+                 f"(hottest: {s['hottest_key_events']:,} events)")
+        rows.append(f"| {label} | default (single-phase groupBy LWW) | "
+                    f"{s['default']['secs']} | "
+                    f"{s['default']['events_per_sec']:,} |")
+        rows.append(f"| {label} | salted (two-phase doc_id × salt) | "
+                    f"{s['salted']['secs']} | "
+                    f"{s['salted']['events_per_sec']:,} |")
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     with open(os.path.join(repo, "BENCH", "SKEW.md"), "w") as f:
         f.write("\n".join([
             "# Hot-key skew evidence",
             "",
-            f"{a.hot_share:.0%} of {a.events:,} events target "
-            f"{out['hot_keys']} of {a.docs:,} documents (hottest key: "
-            f"{out['hottest_key_events']:,} events in one replay).",
+            f"Each scenario skews {a.events:,} events over {a.docs:,} "
+            f"documents (hot_share of all events target hot_keys "
+            f"documents), replayed with both reductions; final tables "
+            f"asserted byte-identical per scenario.",
             "",
-            "| reduction | replay secs | events/sec |",
-            "|---|---|---|",
-            f"| default (single-phase groupBy LWW) | {best[False]['secs']} | {best[False]['events_per_sec']:,} |",
-            f"| salted (two-phase doc_id × salt) | {best[True]['secs']} | {best[True]['events_per_sec']:,} |",
+            "| skew (share / hot keys) | reduction | replay secs | events/sec |",
+            "|---|---|---|---|",
+            *rows,
             "",
-            "Final tables byte-identical. The default plan absorbs the skew "
-            "because the LWW reduction is a groupBy aggregation with "
+            "The load-bearing observation is that throughput does NOT "
+            "collapse as skew concentrates (fewer distinct keys = smaller "
+            "partial maps and shuffle); which reduction wins any single "
+            "run is shared-host noise (best-of-2 timings swing ±15–20%). "
+            "The default plan absorbs even the pathological 99%-on-one-key "
+            "case because the LWW reduction is a groupBy aggregation with "
             "map-side partial aggregation — a hot key ships O(partitions) "
             "pre-reduced rows, never O(events), so no reducer serializes "
             "the hot document (a row_number window formulation would). "
             "Salting is the exact associative fallback for settings where "
-            "partial aggregation cannot engage. "
+            "partial aggregation cannot engage.",
+            "",
+            "**Memory ceiling:** the per-task partial-agg hash map holds at "
+            "most one entry per DISTINCT key in that input split — skew "
+            "concentration lowers distinct-key counts, so the 99%/1-key "
+            "case needs LESS partial-map memory than uniform traffic, "
+            "never more; the ceiling is `distinct keys per split × row "
+            "payload`, governed by `spark.sql.files.maxPartitionBytes`. "
+            "Partial aggregation disengages (and salting becomes the right "
+            "tool) only when that product overflows the hash map — e.g. "
+            "very wide token payloads with near-unique keys per split, the "
+            "opposite regime of hot-key skew. "
             "Produced by `tools/skew_bench.py`.",
             "",
         ]))
