@@ -212,7 +212,7 @@ def minhash_signature(shingles: Column, k: int = 32, seed: int = 42) -> Column:
 
 def minhash_signatures(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
-    seed: int = 42,
+    seed: int = 42, hash_fn=None,
 ) -> DataFrame:
     """k-permutation MinHash signatures as a DataFrame (id, sig array<long>).
 
@@ -222,11 +222,15 @@ def minhash_signatures(
     expression form (``minhash_signature``) inlines the whole shingle
     pipeline into every lane after projection collapse — k×bands copies of
     the expression tree, which blows past codegen limits and falls back to
-    per-row interpretation (measured 269s vs <2s on 10k docs)."""
+    per-row interpretation (measured 269s vs <2s on 10k docs).
+
+    ``hash_fn`` swaps the shingle hash (default xxhash64, the fast path;
+    ``md5_hash60`` for the cross-engine oracle-checkable variant)."""
+    hf = hash_fn or F.xxhash64
     h = docs.select(
         F.col(id_col).alias("id"),
         F.explode(text_shingles(F.col(text_col), n)).alias("_sh"),
-    ).select("id", F.pmod(F.xxhash64("_sh"), F.lit(_MERS)).alias("_h"))
+    ).select("id", F.pmod(hf(F.col("_sh")), F.lit(_MERS)).alias("_h"))
     aggs = [
         F.min(F.pmod(F.col("_h") * F.lit(a) + F.lit(b), F.lit(_MERS))).alias(f"_s{i}")
         for i, (a, b) in enumerate(_perm_params(k, seed))
@@ -238,15 +242,32 @@ def minhash_signatures(
     )
 
 
+def md5_band_hash(lanes: Column) -> Column:
+    """Band hash both engines compute identically: md5 of the lanes'
+    comma-joined decimal rendering, first 15 hex chars as int64 (DuckDB
+    twin: ``('0x' || substr(md5(concat_ws(',', ...)), 1, 15))::BIGINT``).
+    Slower than xxhash64-over-array — the oracle-checkable choice."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat_ws(",", F.transform(lanes, lambda v: v.cast("string")))),
+            1, 15,
+        ),
+        16, 10,
+    ).cast("long")
+
+
 def _band_buckets(
     sig: DataFrame, k: int, bands: int, max_bucket: int | None,
-    extra_cols: list[str] | None = None,
+    extra_cols: list[str] | None = None, band_hash_fn=None,
 ) -> DataFrame:
     """(id, sig) → exploded (id, band, bh) LSH bucket rows; optional
     bucket-size cap (degenerate-bucket reducer guard, see
     minhash_lsh_candidates). ``extra_cols`` are carried through the
-    explode (narrow — no join-back needed)."""
+    explode (narrow — no join-back needed). ``band_hash_fn`` swaps the
+    band hash (default xxhash64 over the lane slice; ``md5_band_hash``
+    for the oracle-checkable variant)."""
     extra = extra_cols or []
+    bhf = band_hash_fn or F.xxhash64
     rows_per_band = k // bands
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(
@@ -257,7 +278,7 @@ def _band_buckets(
                 band_idx,
                 lambda bi: F.struct(
                     bi.alias("band"),
-                    F.xxhash64(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
+                    bhf(F.slice("sig", bi * rows_per_band + 1, rows_per_band)).alias("bh"),
                 ),
             )
         ).alias("b"),
@@ -281,6 +302,8 @@ def minhash_lsh_candidates(
     bands: int = 8,
     seed: int = 42,
     max_bucket: int | None = None,
+    hash_fn=None,
+    band_hash_fn=None,
 ) -> DataFrame:
     """LSH banding: split the k-signature into ``bands`` rows-per-band
     groups, hash each band, explode to (band_idx, band_hash) buckets,
@@ -301,8 +324,10 @@ def minhash_lsh_candidates(
     Caching contract: signatures are cached (both self-join sides read
     them); long-lived sessions should spark.catalog.clearCache() between
     unrelated calls."""
-    sig = minhash_signatures(docs, id_col, text_col, n, k, seed).cache()
-    banded = _band_buckets(sig, k, bands, max_bucket)
+    sig = minhash_signatures(docs, id_col, text_col, n, k, seed,
+                             hash_fn=hash_fn).cache()
+    banded = _band_buckets(sig, k, bands, max_bucket,
+                           band_hash_fn=band_hash_fn)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -349,13 +374,14 @@ def verify_jaccard_pairs(
 def minhash_dedup(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 32,
     bands: int = 8, jaccard_threshold: float = 0.8, seed: int = 42,
-    max_bucket: int | None = None,
+    max_bucket: int | None = None, hash_fn=None, band_hash_fn=None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify (per
     candidate pair, linear) → keep the min-id representative of each
     duplicate pair's loser set."""
     cands = minhash_lsh_candidates(docs, id_col, text_col, n, k, bands, seed,
-                                   max_bucket=max_bucket)
+                                   max_bucket=max_bucket, hash_fn=hash_fn,
+                                   band_hash_fn=band_hash_fn)
     verified = verify_jaccard_pairs(
         docs, cands, id_col, text_col, n, jaccard_threshold
     )
@@ -441,10 +467,21 @@ def _simhash_from_hashes(hashes: pd.Series) -> pd.Series:
     return pd.Series(out.astype(np.int64))
 
 
-def simhash(col: Column, n: int = 3) -> Column:
-    """SimHash of text: shingle → xxhash64 (JVM) → bit-vote pack (pandas
-    UDF, the only Python step and it's batch-vectorized)."""
-    hashes = F.transform(text_shingles(col, n), lambda s: F.xxhash64(s))
+def md5_hash60(col: Column) -> Column:
+    """60-bit feature hash both engines can compute identically: the
+    first 15 hex chars of md5, parsed base-16 (DuckDB twin:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``). Slower than xxhash64
+    but cross-engine deterministic — the oracle-checkable hash choice."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def simhash(col: Column, n: int = 3, hash_fn=None) -> Column:
+    """SimHash of text: shingle → 64-bit feature hash (JVM; xxhash64 by
+    default, ``hash_fn=md5_hash60`` for the oracle-mirrorable variant) →
+    bit-vote pack (pandas UDF, the only Python step and it's
+    batch-vectorized)."""
+    hf = hash_fn or (lambda s: F.xxhash64(s))
+    hashes = F.transform(text_shingles(col, n), hf)
     return _simhash_from_hashes(hashes)
 
 

@@ -894,6 +894,104 @@ def minhash_lsh_dedup(spark, sf_dir):
                            jaccard_threshold=0.8)
 
 
+def _minhash_checkable_oracle() -> str:
+    """DuckDB twin of the FULL MinHash+LSH dedup pipeline, rendered from
+    the same permutation constants the Spark lanes use (seed=42): shingle
+    → md5-derived feature hash mod MERS → 32 min-hash lanes → 8 band
+    hashes → bucket self-join candidates → exact Jaccard verify ≥ 0.8 →
+    anti-join losers."""
+    from opendataloader_pdf_spark.functions.similarity import (
+        _MERS,
+        _perm_params,
+    )
+
+    lanes = ",\n             ".join(
+        f"list_min(list_transform(hs, v -> (v * {a} + {b}) % {_MERS}))"
+        for a, b in _perm_params(32, 42)
+    )
+    band_exprs = ",\n             ".join(
+        "('0x' || substr(md5(concat_ws(',', "
+        + ", ".join(f"sig[{4 * j + i}]::VARCHAR" for i in range(1, 5))
+        + ")), 1, 15))::BIGINT"
+        for j in range(8)
+    )
+    return f"""
+    WITH uni AS (
+      SELECT doc_id, text, source, n_chars FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text, source, n_chars FROM documents
+    ), w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                          ' ') AS words
+      FROM uni
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                 i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))
+             ) AS shingles
+      FROM w
+    ), hx AS (
+      SELECT doc_id, shingles,
+             list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MERS}) AS hs
+      FROM sh
+    ), sg AS (
+      SELECT doc_id,
+             [{lanes}] AS sig
+      FROM hx
+    ), bh AS (
+      SELECT doc_id,
+             [{band_exprs}] AS bhs
+      FROM sg
+    ), bb AS (
+      SELECT doc_id, band, bhs[band + 1] AS bandhash
+      FROM bh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bandidx
+    ), c AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM bb a JOIN bb b2
+        ON a.band = b2.band AND a.bandhash = b2.bandhash
+       AND a.doc_id < b2.doc_id
+    ), v AS (
+      SELECT c.id_a, c.id_b
+      FROM c
+      JOIN sh sa ON sa.doc_id = c.id_a
+      JOIN sh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                  / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.8
+    ), losers AS (SELECT DISTINCT id_b AS doc_id FROM v)
+    SELECT u.doc_id, u.source, u.n_chars
+    FROM uni u LEFT JOIN losers l ON u.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL
+    """
+
+
+@register(
+    "minhash_dedup_checkable",
+    _minhash_checkable_oracle(),
+    doc="MinHash+LSH near-dup dedup with a STRICT oracle (the fast-path "
+        "twin minhash_lsh_dedup stays on xxhash64 and is rows-only): "
+        "identical pipeline code (functions/similarity.minhash_dedup — "
+        "signatures, banding, bucket join, exact-Jaccard verify, "
+        "loser anti-join) with the shingle/band hashes plugged as the "
+        "cross-engine-deterministic md5 variants (md5_hash60 / "
+        "md5_band_hash). The DuckDB oracle recomputes the ENTIRE pipeline "
+        "declaratively — including the same 32 permutation constants "
+        "(seed=42) and band layout — so banding, collision, verification, "
+        "and survivor-set semantics are all value-hash-checked.",
+)
+def minhash_dedup_checkable(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    dup = d.withColumn("doc_id", F.col("doc_id") + 100000)
+    uni = d.unionByName(dup)
+    out = S.minhash_dedup(uni, "doc_id", "text", n=3, k=32, bands=8,
+                          jaccard_threshold=0.8,
+                          hash_fn=S.md5_hash60,
+                          band_hash_fn=S.md5_band_hash)
+    return out.select("doc_id", "source", "n_chars")
+
+
 @register(
     "split_assign",
     """
@@ -1156,13 +1254,48 @@ def minhash_incremental(spark, sf_dir):
 
 
 @register(
-    "simhash_docs", None,
-    doc="SimHash signatures (vectorized bit-vote pandas UDF) + hamming "
-        "distance to the exact-duplicate twin == 0 invariant in pytest.",
+    "simhash_docs",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                          ' ') AS words
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                 i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))
+             ) AS shingles
+      FROM w
+    ), h AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hs
+      FROM sh
+    )
+    SELECT doc_id,
+           list_sum(list_transform(range(0, 60), b ->
+             CASE WHEN list_sum(list_transform(hs,
+                    v -> CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (1::BIGINT << b) ELSE 0::BIGINT END
+           ))::BIGINT AS sh
+    FROM h
+    """,
+    doc="SimHash signatures — STRICT oracle (was rows-only in r02): "
+        "shingle → md5-derived 60-bit feature hash (cross-engine "
+        "deterministic, similarity.md5_hash60) → vectorized bit-vote "
+        "pack in the pandas UDF. The DuckDB twin recomputes the same "
+        "shingles, hashes, and per-bit majority vote declaratively, so "
+        "the packed signature itself is value-hash-checked; the "
+        "hamming(exact-dup twin)==0 invariant stays in pytest.",
 )
 def simhash_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", S.simhash(F.col("text")).alias("sh"))
+    return d.select(
+        "doc_id",
+        S.simhash(F.col("text"), hash_fn=S.md5_hash60).alias("sh"),
+    )
 
 
 @register(
@@ -3124,7 +3257,13 @@ _GATE_PRIORITY = [
     "decontaminate", "split_assign", "mixture_sample", "vocab_stats",
     "text_langid_quality", "f_filter_stack", "a1_sessionize_gap",
     "a2_fold_paragraphs", "a15_stack_levels", "o2_xy_cut_order",
-    "o1_multikey_rank", "j1_interval_containment", "asof_join_last_order",
+    "o1_multikey_rank",
+    # simhash_docs and minhash_dedup_checkable gained strict oracles in
+    # round 3 (simhash was rows-only in r02; the checkable minhash is
+    # new) — surface both through the driver gate; the slots they take
+    # (asof_join_last_order, j1_interval_containment) are strict-green
+    # in CORRECTNESS_r02
+    "simhash_docs", "minhash_dedup_checkable",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
