@@ -399,6 +399,8 @@ def minhash_lsh_candidates_incremental(
     bands: int = 8,
     seed: int = 42,
     max_bucket: int | None = None,
+    hash_fn=None,
+    band_hash_fn=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental LSH dedup: candidates for a NEW document batch against
     a persisted signature index — the 100 TB ingest shape, where the
@@ -424,11 +426,13 @@ def minhash_lsh_candidates_incremental(
     returned frame the caller appends to the index; without the cache the
     shingle+k-lane aggregation would run 3x. Long-lived sessions should
     spark.catalog.clearCache() between unrelated calls."""
-    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k, seed).cache()
+    new_sig = minhash_signatures(new_docs, id_col, text_col, n, k, seed,
+                                 hash_fn=hash_fn).cache()
     tagged = index_sig.select("id", "sig", F.lit(False).alias("is_new")).unionByName(
         new_sig.select("id", "sig", F.lit(True).alias("is_new"))
     )
-    banded = _band_buckets(tagged, k, bands, max_bucket, extra_cols=["is_new"])
+    banded = _band_buckets(tagged, k, bands, max_bucket, extra_cols=["is_new"],
+                           band_hash_fn=band_hash_fn)
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(

@@ -894,12 +894,10 @@ def minhash_lsh_dedup(spark, sf_dir):
                            jaccard_threshold=0.8)
 
 
-def _minhash_checkable_oracle() -> str:
-    """DuckDB twin of the FULL MinHash+LSH dedup pipeline, rendered from
-    the same permutation constants the Spark lanes use (seed=42): shingle
-    → md5-derived feature hash mod MERS → 32 min-hash lanes → 8 band
-    hashes → bucket self-join candidates → exact Jaccard verify ≥ 0.8 →
-    anti-join losers."""
+def _minhash_sql_parts() -> tuple[str, str, int]:
+    """The lane and band-hash SQL fragments of the oracle-checkable
+    MinHash (k=32, bands=8, seed=42), rendered from the SAME permutation
+    constants the Spark lanes use — shared by every minhash oracle."""
     from opendataloader_pdf_spark.functions.similarity import (
         _MERS,
         _perm_params,
@@ -915,6 +913,16 @@ def _minhash_checkable_oracle() -> str:
         + ")), 1, 15))::BIGINT"
         for j in range(8)
     )
+    return lanes, band_exprs, _MERS
+
+
+def _minhash_checkable_oracle() -> str:
+    """DuckDB twin of the FULL MinHash+LSH dedup pipeline, rendered from
+    the same permutation constants the Spark lanes use (seed=42): shingle
+    → md5-derived feature hash mod MERS → 32 min-hash lanes → 8 band
+    hashes → bucket self-join candidates → exact Jaccard verify ≥ 0.8 →
+    anti-join losers."""
+    lanes, band_exprs, _MERS = _minhash_sql_parts()
     return f"""
     WITH uni AS (
       SELECT doc_id, text, source, n_chars FROM documents
@@ -1231,11 +1239,67 @@ def mixture_sample_q(spark, sf_dir):
     )
 
 
+def _minhash_incremental_oracle() -> str:
+    """DuckDB twin of the incremental LSH candidate scan: signatures over
+    corpus ∪ clone-batch, band buckets, pairs where at least one side is
+    NEW (doc_id >= 300 — clones land at +100000 so the whole clone set is
+    new) — the corpus-vs-corpus pairs are excluded exactly as the
+    incremental path excludes them."""
+    lanes, band_exprs, _MERS = _minhash_sql_parts()
+    return f"""
+    WITH uni AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id % 7 = 0
+    ), w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'),
+                          ' ') AS words
+      FROM uni
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(words) - 2, 1) + 1),
+                 i -> concat_ws(' ', words[i], words[i + 1], words[i + 2]))
+             ) AS shingles
+      FROM w
+    ), hx AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MERS}) AS hs
+      FROM sh
+    ), sg AS (
+      SELECT doc_id,
+             [{lanes}] AS sig
+      FROM hx
+    ), bh AS (
+      SELECT doc_id,
+             [{band_exprs}] AS bhs
+      FROM sg
+    ), bb AS (
+      SELECT doc_id, doc_id >= 300 AS is_new, band, bhs[band + 1] AS bandhash
+      FROM bh CROSS JOIN (SELECT unnest(range(0, 8)) AS band) bandidx
+    )
+    SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+    FROM bb a JOIN bb b2
+      ON a.band = b2.band AND a.bandhash = b2.bandhash
+     AND a.doc_id < b2.doc_id
+    WHERE a.is_new OR b2.is_new
+    """
+
+
 @register(
-    "minhash_incremental", None,
-    doc="Incremental MinHash-LSH ingest: candidates for a NEW doc batch "
-        "against a persisted signature index (corpus never re-shingled — "
-        "the 100 TB ingest shape). Pytest pins equality with a "
+    "minhash_incremental",
+    _minhash_incremental_oracle(),
+    doc="Incremental MinHash-LSH ingest with a STRICT oracle (was "
+        "rows-only in r02): candidates for a NEW doc batch against a "
+        "persisted signature index (corpus never re-shingled — the 100 "
+        "TB ingest shape), on the md5-based oracle-checkable hash family. "
+        "The DuckDB twin recomputes signatures for corpus ∪ batch from "
+        "the same seed-42 permutation constants and keeps only pairs "
+        "touching the batch, so the incremental exclusion semantics are "
+        "value-hash-checked. Pytest additionally pins equality with a "
         "from-scratch run restricted to batch-touching pairs.",
 )
 def minhash_incremental(spark, sf_dir):
@@ -1246,9 +1310,11 @@ def minhash_incremental(spark, sf_dir):
     uni = d.unionByName(clones)
     corpus = uni.filter(F.col("doc_id") < 300)
     batch = uni.filter(F.col("doc_id") >= 300)
-    index_sig = S.minhash_signatures(corpus, "doc_id", "text", n=3, k=32)
+    index_sig = S.minhash_signatures(corpus, "doc_id", "text", n=3, k=32,
+                                     hash_fn=S.md5_hash60)
     cands, _ = S.minhash_lsh_candidates_incremental(
-        batch, index_sig, "doc_id", "text", n=3, k=32, bands=8
+        batch, index_sig, "doc_id", "text", n=3, k=32, bands=8,
+        hash_fn=S.md5_hash60, band_hash_fn=S.md5_band_hash,
     )
     return cands
 
@@ -3257,13 +3323,13 @@ _GATE_PRIORITY = [
     "decontaminate", "split_assign", "mixture_sample", "vocab_stats",
     "text_langid_quality", "f_filter_stack", "a1_sessionize_gap",
     "a2_fold_paragraphs", "a15_stack_levels", "o2_xy_cut_order",
-    "o1_multikey_rank",
-    # simhash_docs and minhash_dedup_checkable gained strict oracles in
-    # round 3 (simhash was rows-only in r02; the checkable minhash is
-    # new) — surface both through the driver gate; the slots they take
-    # (asof_join_last_order, j1_interval_containment) are strict-green
-    # in CORRECTNESS_r02
-    "simhash_docs", "minhash_dedup_checkable",
+    # simhash_docs, minhash_incremental, and minhash_dedup_checkable
+    # gained strict oracles in round 3 (the first two were rows-only in
+    # r02; the checkable minhash is new) — surface all three through the
+    # driver gate; the slots they take (asof_join_last_order,
+    # j1_interval_containment, o1_multikey_rank) are strict-green in
+    # CORRECTNESS_r02
+    "simhash_docs", "minhash_dedup_checkable", "minhash_incremental",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
