@@ -58,6 +58,11 @@ AUDITED = [
     "decontaminate",
     "cdc_changelog",
     "cdc_incremental_stats",
+    "multimodal_decode",
+    "minhash_dedup_checkable",
+    "simhash_docs",
+    "pii_scrub",
+    "length_percentile_filter",
     "repetition_quality",
 ]
 
