@@ -3127,6 +3127,174 @@ def s4_streaming_tail(spark, sf_dir):
 
 
 @register(
+    "cdc_quarantine",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 350)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_id % 97 = 0 THEN 'bogus'
+                  WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 107)::INT, (user_id % 71)::INT,
+              length(event_type)::INT] AS tokens
+      FROM events
+    ), valid AS (
+      SELECT * FROM ch WHERE op IN ('insert', 'update', 'delete', 'patch')
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM valid GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Dead-letter quarantine through the REAL engine (§2.9, "
+        "ReplayEngine(quarantine=True)): the derived stream carries "
+        "injected malformed events (unknown op on every 97th event); the "
+        "engine must divert exactly those to <table>/_quarantine and "
+        "apply only the valid rows. Runtime-asserts the quarantined "
+        "count equals the injected count and the dead-letter table holds "
+        "them; the oracle computes LWW over the valid subset only — "
+        "equal iff diversion neither dropped a good event nor applied a "
+        "bad one. Was pytest-only; now driver-gated.",
+)
+def cdc_quarantine(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 350).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_id") % 97 == 0, F.lit("bogus"))
+        .when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 107).cast("int"),
+            (F.col("user_id") % 71).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    n_bad, thr = (
+        ch.agg(
+            F.sum((F.col("op") == "bogus").cast("long")),
+            F.max("lsn"),
+        ).collect()[0]
+    )
+    root = _engine_workdir("quarantine_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink, quarantine=True)
+    eng.bootstrap(None)
+    summary = eng.replay(ch, batch_size=int(thr) // 2 + 1)
+    if summary.quarantined != n_bad:
+        raise AssertionError(
+            f"quarantined {summary.quarantined}, injected {n_bad}"
+        )
+    import os
+
+    dead = spark.read.parquet(os.path.join(root, "_quarantine"))
+    if dead.count() != n_bad or dead.filter(F.col("op") != "bogus").count():
+        raise AssertionError("dead-letter table does not hold exactly the "
+                             "injected malformed events")
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+@register(
+    "cdc_tag_expire_travel",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 400)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 109)::INT, (user_id % 73)::INT,
+              length(event_type)::INT] AS tokens
+      FROM events
+    ), thr AS (SELECT (max(lsn) // 2) + 1 AS t FROM ch),
+    s1 AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch WHERE lsn < (SELECT t FROM thr) GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s1 WHERE op != 'delete'
+    """,
+    doc="Snapshot tags as durable reader horizons through the REAL "
+        "engine (cdc/maintenance.py tag/expire_snapshots/read_tag): "
+        "replay batch 1, tag the snapshot ('train-v1'), replay batch 2, "
+        "expire all but the newest snapshot — the tagged manifest must "
+        "SURVIVE expiry (runtime-asserted) and read_tag must return "
+        "exactly the mid-stream LWW state the oracle computes "
+        "declaratively. Proves the time-travel pin a training run "
+        "depends on; was pytest-only, now driver-gated.",
+)
+def cdc_tag_expire_travel(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        expire_snapshots,
+        read_tag,
+        tag,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 400).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 109).cast("int"),
+            (F.col("user_id") % 73).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    thr = int(ch.agg(F.max("lsn")).collect()[0][0]) // 2 + 1
+    root = _engine_workdir("tag_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=thr)
+
+    mid_sid = sink.manifest()["commits"][0]["snapshot_id"]
+    tag(sink, "train-v1", mid_sid)
+    res = expire_snapshots(sink, keep_last=1)
+    from opendataloader_pdf_spark.cdc import retained_snapshots
+
+    if mid_sid not in retained_snapshots(sink):
+        raise AssertionError(
+            f"tagged snapshot {mid_sid} expired despite the tag "
+            f"(expiry result {res})"
+        )
+
+    return read_tag(sink, "train-v1").select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+@register(
     "repetition_quality",
     """
     WITH w AS (
@@ -3322,14 +3490,15 @@ _GATE_PRIORITY = [
     "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",
     "decontaminate", "split_assign", "mixture_sample", "vocab_stats",
     "text_langid_quality", "f_filter_stack", "a1_sessionize_gap",
-    "a2_fold_paragraphs", "a15_stack_levels", "o2_xy_cut_order",
-    # simhash_docs, minhash_incremental, and minhash_dedup_checkable
-    # gained strict oracles in round 3 (the first two were rows-only in
-    # r02; the checkable minhash is new) — surface all three through the
-    # driver gate; the slots they take (asof_join_last_order,
-    # j1_interval_containment, o1_multikey_rank) are strict-green in
-    # CORRECTNESS_r02
+    "a2_fold_paragraphs",
+    # round-3 strict-oracle upgrades and new lifecycle entries — all
+    # surfaced through the driver gate; the slots they take
+    # (asof_join_last_order, j1_interval_containment, o1_multikey_rank,
+    # a15_stack_levels — strict-green in CORRECTNESS_r02 — and
+    # o2_xy_cut_order, rows-only there with no oracle possible) lose no
+    # gate signal
     "simhash_docs", "minhash_dedup_checkable", "minhash_incremental",
+    "cdc_quarantine", "cdc_tag_expire_travel",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
