@@ -194,6 +194,20 @@ def _payload_hash(payloads: pd.Series) -> np.ndarray:
     )
 
 
+def _payload_hash_md5(payloads: pd.Series) -> np.ndarray:
+    """60-bit md5-derived payload hash — the cross-engine deterministic
+    variant (DuckDB twin: ``('0x' || substr(md5(x), 1, 15))::BIGINT``),
+    used where a SQL oracle must predict hash-derived metadata."""
+    import hashlib
+
+    return np.fromiter(
+        (int(hashlib.md5(b"" if p is None else bytes(p)).hexdigest()[:15], 16)
+         for p in payloads),
+        dtype=np.int64,
+        count=len(payloads),
+    )
+
+
 def _fake_decode(pdf: pd.DataFrame, feat_dim: int) -> pd.DataFrame:
     h = _payload_hash(pdf["payload"])
     width = (64 + (h % 1920)).astype(np.int32)
@@ -292,14 +306,18 @@ def decode_png_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, schema=PNG_STATS_SCHEMA)
 
 
-def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8) -> DataFrame:
+def sample_frames(media: DataFrame, fps: float = 1.0, max_frames: int = 8,
+                  hasher: str = "crc32") -> DataFrame:
     """Frame sampling: one input row → N frame rows (row explosion inside
     mapInPandas, the video analog of explode). Frame count/timestamps are
-    deterministic from the payload hash in the stub."""
+    deterministic from the payload hash in the stub. ``hasher='md5'``
+    selects the cross-engine-deterministic payload hash so a SQL oracle
+    can predict every emitted row."""
+    hash_fn = _payload_hash_md5 if hasher == "md5" else _payload_hash
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            h = _payload_hash(pdf["payload"])
+            h = hash_fn(pdf["payload"])
             n_frames = (1 + (h % max_frames)).astype(np.int64)
             total = int(n_frames.sum())
             if total == 0:

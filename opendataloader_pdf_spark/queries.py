@@ -1364,10 +1364,70 @@ def simhash_docs(spark, sf_dir):
     )
 
 
+def _lsh_topk_oracle() -> str:
+    """DuckDB twin of hyperplane-LSH top-k, bit-reproducible floats: the
+    Spark side computes dot products as ORDERED left-folds of IEEE
+    doubles (F.aggregate over zip_with, init 0.0), which list_reduce
+    over a 0.0-prepended list replays operation-for-operation — float32
+    embeddings widen to double exactly in both engines, so signature
+    signs and cosines are bit-identical, not approximately equal. The
+    8 seed-42 hyperplanes are embedded as full-precision literals."""
+    from opendataloader_pdf_spark.functions.similarity import _hyperplanes
+
+    def dot(vec_expr: str, plane) -> str:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return (
+            f"list_reduce([0.0] || list_transform("
+            f"list_zip({vec_expr}, [{lits}]::DOUBLE[]),"
+            f" x -> x[1] * x[2]), (a, b) -> a + b)"
+        )
+
+    sig_expr = "\n             + ".join(
+        f"(CASE WHEN {dot('emb', p)} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+        for i, p in enumerate(_hyperplanes(64, 8, 42))
+    )
+    sumsq = ("list_reduce([0.0] || list_transform({v}, x -> x * x), "
+             "(a, b) -> a + b)")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), sig AS (
+      SELECT vec_id, emb,
+             {sig_expr} AS bucket
+      FROM e
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(CASE WHEN sqrt({sumsq.format(v='c.emb')}) > 0
+                         AND sqrt({sumsq.format(v='q.emb')}) > 0
+                    THEN list_reduce([0.0] || list_transform(
+                           list_zip(c.emb, q.emb), x -> x[1] * x[2]),
+                           (a, b) -> a + b)
+                         / (sqrt({sumsq.format(v='c.emb')})
+                            * sqrt({sumsq.format(v='q.emb')}))
+                    ELSE 0.0 END, 6) AS cosine
+      FROM sig c JOIN sig q ON c.bucket = q.bucket
+      WHERE q.vec_id < 20
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY cosine DESC, neighbor_id ASC) AS rk
+      FROM scored
+    ) WHERE rk <= 5
+    """
+
+
 @register(
-    "lsh_topk", None,
-    doc="Approximate ANN: random-hyperplane signature buckets → "
-        "equi-join candidates → cosine rank (scale path vs brute force).",
+    "lsh_topk",
+    _lsh_topk_oracle(),
+    doc="Approximate ANN with a STRICT oracle (was rows-only in r02): "
+        "random-hyperplane signature buckets (JVM-side ordered-fold dot "
+        "products against literal seed-42 planes) → equi-join candidates "
+        "→ exact cosine rank. The DuckDB twin replays the identical "
+        "IEEE operation sequence via list_reduce with the same plane "
+        "literals, so bucket membership, cosine values, and rank order "
+        "are value-hash-checked — the scale path vs brute force, now "
+        "correctness-gated end-to-end.",
 )
 def lsh_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1817,13 +1877,71 @@ def embedding_near_dup(spark, sf_dir):
                                 exact_limit=None)
 
 
+def _near_dup_lsh_oracle() -> str:
+    """DuckDB twin of banded hyperplane near-dup pairs — same
+    bit-reproducible ordered-fold trick as _lsh_topk_oracle, per-band
+    plane sets from seeds 42 + 1000*band."""
+    from opendataloader_pdf_spark.functions.similarity import _hyperplanes
+
+    def dot(vec_expr: str, plane) -> str:
+        lits = ", ".join(repr(float(x)) for x in plane)
+        return (
+            f"list_reduce([0.0] || list_transform("
+            f"list_zip({vec_expr}, [{lits}]::DOUBLE[]),"
+            f" x -> x[1] * x[2]), (a, b) -> a + b)"
+        )
+
+    def band_sig(bi: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN {dot('emb', p)} > 0 THEN {1 << i} ELSE 0 END)::BIGINT"
+            for i, p in enumerate(_hyperplanes(64, 3, 42 + 1000 * bi))
+        )
+
+    sigs = ",\n             ".join(band_sig(bi) for bi in range(6))
+    sumsq = ("list_reduce([0.0] || list_transform({v}, x -> x * x), "
+             "(a, b) -> a + b)")
+    cos = (
+        f"CASE WHEN sqrt({sumsq.format(v='ea.emb')}) > 0"
+        f" AND sqrt({sumsq.format(v='eb.emb')}) > 0"
+        f" THEN list_reduce([0.0] || list_transform("
+        f"list_zip(ea.emb, eb.emb), x -> x[1] * x[2]), (a, b) -> a + b)"
+        f" / (sqrt({sumsq.format(v='ea.emb')}) * sqrt({sumsq.format(v='eb.emb')}))"
+        f" ELSE 0.0 END"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+    ), sig AS (
+      SELECT vec_id, emb,
+             [{sigs}] AS sigs
+      FROM e
+    ), banded AS (
+      SELECT vec_id, band, sigs[band + 1] AS sg
+      FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS band) bandidx
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+      FROM banded a JOIN banded b2
+        ON a.band = b2.band AND a.sg = b2.sg AND a.vec_id < b2.vec_id
+    )
+    SELECT c.id_a, c.id_b, round({cos}, 6) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= 0.4
+    """
+
+
 @register(
-    "embedding_near_dup_lsh", None,
+    "embedding_near_dup_lsh",
+    _near_dup_lsh_oracle(),
     doc="Embedding near-dup pairs via banded hyperplane LSH + exact "
-        "cosine verify — the path cosine_pairs_above size-gates into at "
-        "100 TB. Candidates = equi-join on (band, sign-signature); "
-        "emitted pairs ⊆ the exact result (pytest asserts subset + "
-        "recall on testdata).",
+        "cosine verify, with a STRICT oracle (was rows-only in r02) — "
+        "the path cosine_pairs_above size-gates into at 100 TB. "
+        "Candidates = equi-join on (band, sign-signature); the DuckDB "
+        "twin replays the identical IEEE fold sequence against the same "
+        "per-band seed-42+1000b plane literals, so band membership, the "
+        "candidate set, and verified cosines are value-hash-checked. "
+        "Pytest additionally asserts subset-of-exact + recall.",
 )
 def embedding_near_dup_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select(
@@ -2121,9 +2239,30 @@ def multimodal_decode(spark, sf_dir):
 
 
 @register(
-    "multimodal_frame_sample", None,
-    doc="Video frame sampling: one media row → N frame rows inside "
-        "mapInPandas (row-explosion pattern).",
+    "multimodal_frame_sample",
+    """
+    WITH v AS (
+      SELECT doc_id::BIGINT AS media_id,
+             ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ), f AS (
+      SELECT media_id, h,
+             unnest(range(0, 1 + h % 8)) AS idx
+      FROM v
+    )
+    SELECT media_id,
+           idx::INT AS frame_idx,
+           idx::DOUBLE AS frame_ts,
+           xor(h, idx * 2654435761) AS frame_hash
+    FROM f
+    """,
+    doc="Video frame sampling with a STRICT oracle (was rows-only in "
+        "r02): one media row → N frame rows inside mapInPandas "
+        "(row-explosion pattern), frame count/timestamps/hashes derived "
+        "from the md5-based cross-engine payload hash — the DuckDB twin "
+        "predicts every emitted row (count, index, ts at fps=1, and the "
+        "xor-mixed frame hash) from the text payload alone, so the "
+        "explosion arithmetic itself is value-hash-checked.",
 )
 def multimodal_frame_sample(spark, sf_dir):
     from opendataloader_pdf_spark.functions.multimodal import (
@@ -2134,7 +2273,7 @@ def multimodal_frame_sample(spark, sf_dir):
     media = documents_as_media(_t(spark, sf_dir, "documents")).filter(
         F.col("kind") == "video"
     )
-    return sample_frames(media)
+    return sample_frames(media, hasher="md5")
 
 
 # =====================================================================
@@ -3489,16 +3628,16 @@ _GATE_PRIORITY = [
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
     "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",
     "decontaminate", "split_assign", "mixture_sample", "vocab_stats",
-    "text_langid_quality", "f_filter_stack", "a1_sessionize_gap",
-    "a2_fold_paragraphs",
+    "f_filter_stack", "a1_sessionize_gap",
     # round-3 strict-oracle upgrades and new lifecycle entries — all
     # surfaced through the driver gate; the slots they take
     # (asof_join_last_order, j1_interval_containment, o1_multikey_rank,
-    # a15_stack_levels — strict-green in CORRECTNESS_r02 — and
-    # o2_xy_cut_order, rows-only there with no oracle possible) lose no
-    # gate signal
+    # a15_stack_levels, a2_fold_paragraphs, text_langid_quality —
+    # strict-green in CORRECTNESS_r02 — and o2_xy_cut_order, rows-only
+    # there with no oracle possible) lose no gate signal
     "simhash_docs", "minhash_dedup_checkable", "minhash_incremental",
     "cdc_quarantine", "cdc_tag_expire_travel",
+    "lsh_topk", "embedding_near_dup_lsh",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
