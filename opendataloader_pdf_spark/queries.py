@@ -3434,6 +3434,209 @@ def cdc_tag_expire_travel(spark, sf_dir):
 
 
 @register(
+    "cdc_schema_evolution",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 380)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 113)::INT, (user_id % 67)::INT,
+              length(event_type)::INT] AS tokens,
+             event_id >= (SELECT (max(event_id) // 2) + 1 FROM events) AS is_v2,
+             CASE WHEN event_id >= (SELECT (max(event_id) // 2) + 1 FROM events)
+                  THEN substr(event_type, 1, 2) END AS lang
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn,
+             arg_max({{'op': op, 'tokens': tokens, 'lang': lang}}, lsn) AS w
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, lsn,
+           len(w['tokens'])::INT AS n_out,
+           (list_reduce(list_transform(w['tokens'], x -> x::BIGINT),
+                        (a,v) -> (a*1000003 + v) % 2147483647)
+            * 2147483648
+            + list_reduce(list_transform(w['tokens'], x -> x::BIGINT),
+                          (a,v) -> (a*999983 + v) % 536870909)
+           )::BIGINT AS fp,
+           w['lang'] AS lang
+    FROM s WHERE w['op'] != 'delete'
+    """,
+    doc="Additive schema evolution through the REAL engine (north rule: "
+        "schema-registry diff before commit; cdc/schema_evolution.py): "
+        "batch 1 is all schema-v1 (no lang column stored), batch 2 is "
+        "all v2 (adds lang) — the engine must evolve the sink schema at "
+        "the batch boundary, backfill old rows as NULL, and store v2 "
+        "winners' lang. Runtime-asserts the v1 snapshot's schema really "
+        "lacked lang and the final schema has it; the oracle computes "
+        "the LWW winner's (tokens, lang) declaratively (struct arg_max, "
+        "so a NULL lang winner is preserved, not skipped). Was "
+        "pytest-only; now driver-gated.",
+)
+def cdc_schema_evolution(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        schema_at,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    thr_row = ev.agg(F.max("event_id")).collect()[0][0]
+    thr = int(thr_row) // 2 + 1
+    is_v2 = F.col("event_id") >= thr
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 380).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 113).cast("int"),
+            (F.col("user_id") % 67).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.when(is_v2, F.substring("event_type", 1, 2)).alias("lang"),
+        F.when(is_v2, F.lit(2)).otherwise(F.lit(1)).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    root = _engine_workdir("schemaevo_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=thr)
+
+    mid_sid = sink.manifest()["commits"][0]["snapshot_id"]
+    v1_fields = {f.name for f in schema_at(sink, mid_sid).fields}
+    v2_fields = {f.name for f in sink.current_schema().fields}
+    if "lang" in v1_fields or "lang" not in v2_fields:
+        raise AssertionError(
+            f"schema did not evolve at the batch boundary: "
+            f"v1={sorted(v1_fields)}, final={sorted(v2_fields)}"
+        )
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+        "lang",
+    )
+
+
+@register(
+    "cdc_patch_splice",
+    """
+    WITH RECURSIVE ch AS (
+      SELECT 'd' || (user_id % 250)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_id = min(event_id) OVER (
+                         PARTITION BY 'd' || (user_id % 250)::VARCHAR)
+                    OR event_id % 5 = 0
+                  THEN 'update' ELSE 'patch' END AS op,
+             event_id % 6 AS p_start,
+             event_id % 3 AS p_del,
+             [(event_id % 29)::INT, (user_id % 23)::INT, 7::INT,
+              (event_id % 11)::INT] AS w_tokens,
+             [(event_id % 13)::INT, (user_id % 17)::INT] AS ins_tokens
+      FROM events
+    ), o AS (
+      SELECT doc_id, lsn, op, p_start, p_del,
+             CASE WHEN op = 'update' THEN w_tokens ELSE ins_tokens END AS tokens,
+             row_number() OVER (PARTITION BY doc_id ORDER BY lsn) AS rn
+      FROM ch
+    ), fold AS (
+      SELECT doc_id, rn, lsn, tokens AS cur
+      FROM o WHERE rn = 1
+      UNION ALL
+      SELECT f.doc_id, n.rn, n.lsn,
+             CASE WHEN n.op = 'update' THEN n.tokens
+                  ELSE f.cur[1:least(n.p_start, len(f.cur))]
+                       || n.tokens
+                       || f.cur[least(n.p_start, len(f.cur))
+                                + least(n.p_del,
+                                        len(f.cur) - least(n.p_start, len(f.cur)))
+                                + 1:]
+             END AS cur
+      FROM fold f JOIN o n ON n.doc_id = f.doc_id AND n.rn = f.rn + 1
+    )
+    SELECT doc_id, lsn, len(cur)::INT AS n_out,
+           (list_reduce(list_transform(cur, x -> x::BIGINT),
+                        (a,v) -> (a*1000003 + v) % 2147483647)
+            * 2147483648
+            + list_reduce(list_transform(cur, x -> x::BIGINT),
+                          (a,v) -> (a*999983 + v) % 536870909)
+           )::BIGINT AS fp
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY rn DESC) AS rk
+      FROM fold
+    ) WHERE rk = 1
+    """,
+    doc="Partial-update token splices through the REAL engine "
+        "(cdc/patches.py — the north rule's token-array manipulation "
+        "path): every doc gets a full write first, then a mix of "
+        "patches ('delete p_del tokens at p_start, insert these', "
+        "clamped to bounds) and periodic full rewrites, replayed in "
+        "three micro-batches so patches must resolve against the SINK's "
+        "predecessor row across batch boundaries (reduce_batch_patches "
+        "→ merge_pending → resolve_patches → Arrow splice UDF). The "
+        "oracle folds the identical splice arithmetic per doc in pure "
+        "LSN order with a recursive CTE — the engine's batch-independent "
+        "contract, value-hash-checked. Was pytest-only; now "
+        "driver-gated.",
+)
+def cdc_patch_splice(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    doc = F.concat(F.lit("d"), (F.col("user_id") % 250).cast("string"))
+    w = Window.partitionBy(doc)
+    is_w = (F.col("event_id") == F.min("event_id").over(w)) | (
+        F.col("event_id") % 5 == 0
+    )
+    w_tokens = F.array(
+        (F.col("event_id") % 29).cast("int"),
+        (F.col("user_id") % 23).cast("int"),
+        F.lit(7).cast("int"),
+        (F.col("event_id") % 11).cast("int"),
+    )
+    ins_tokens = F.array(
+        (F.col("event_id") % 13).cast("int"),
+        (F.col("user_id") % 17).cast("int"),
+    )
+    ch = ev.select(
+        doc.alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(is_w, F.lit("update")).otherwise(F.lit("patch")).alias("op"),
+        F.when(is_w, w_tokens).otherwise(ins_tokens).alias("tokens"),
+        F.when(is_w, F.lit(4)).otherwise(F.lit(None)).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+        F.when(~is_w, (F.col("event_id") % 6).cast("int")).alias("patch_start"),
+        F.when(~is_w, (F.col("event_id") % 3).cast("int")).alias("patch_del"),
+    )
+    thr = int(ch.agg(F.max("lsn")).collect()[0][0])
+    root = _engine_workdir("patch_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=thr // 3 + 1)
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+@register(
     "repetition_quality",
     """
     WITH w AS (
@@ -3628,15 +3831,16 @@ _GATE_PRIORITY = [
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
     "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",
     "decontaminate", "split_assign", "mixture_sample", "vocab_stats",
-    "f_filter_stack", "a1_sessionize_gap",
     # round-3 strict-oracle upgrades and new lifecycle entries — all
     # surfaced through the driver gate; the slots they take
     # (asof_join_last_order, j1_interval_containment, o1_multikey_rank,
-    # a15_stack_levels, a2_fold_paragraphs, text_langid_quality —
-    # strict-green in CORRECTNESS_r02 — and o2_xy_cut_order, rows-only
-    # there with no oracle possible) lose no gate signal
+    # a15_stack_levels, a2_fold_paragraphs, text_langid_quality,
+    # f_filter_stack, a1_sessionize_gap — strict-green in
+    # CORRECTNESS_r02 — and o2_xy_cut_order, rows-only there with no
+    # oracle possible) lose no gate signal
     "simhash_docs", "minhash_dedup_checkable", "minhash_incremental",
     "cdc_quarantine", "cdc_tag_expire_travel",
+    "cdc_schema_evolution", "cdc_patch_splice",
     "lsh_topk", "embedding_near_dup_lsh",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
