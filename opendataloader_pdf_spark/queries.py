@@ -2442,6 +2442,112 @@ def s2_tagged_scan(spark, sf_dir):
 
 
 @register(
+    "f11_source_prune",
+    """
+    SELECT 'pruned' AS branch, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events WHERE event_type <> 'error'
+    GROUP BY event_type
+    UNION ALL
+    SELECT 'full' AS branch, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="F11 hidden-OCG filter (DocumentProcessor.java:161, "
+        "setIsFilterInvisibleLayers): a SOURCE-LEVEL option prunes the "
+        "invisible layer at parse time instead of reading-then-dropping. "
+        "Spark analog (sources.tables.scan_events): the option injects "
+        "the predicate on the scan relation so it reaches the parquet "
+        "reader as a PushedFilter (row-group stats skip) / "
+        "PartitionFilter on partitioned layouts — plan shape asserted in "
+        "tests/test_round3.py. Both option branches aggregated and "
+        "unioned so the gate checks on-vs-off semantics in one frame.",
+)
+def f11_source_prune(spark, sf_dir):
+    from opendataloader_pdf_spark.sources.tables import scan_events
+
+    def agg(df, branch):
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+             .cast("double").alias("sum_value"),
+        ).select(F.lit(branch).alias("branch"), "event_type",
+                 "n_events", "sum_value")
+
+    pruned = agg(scan_events(spark, sf_dir, filter_invisible=True), "pruned")
+    full = agg(scan_events(spark, sf_dir, filter_invisible=False), "full")
+    return pruned.unionByName(full)
+
+
+@register(
+    "exact_substring_dup",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, unnest([md5(array_to_string(arr[i:i+15], ' '))
+                             for i in range(1, greatest(len(arr)-16+1, 0)+1, 8)]) AS wh
+      FROM w
+    ), per AS (
+      SELECT wh, doc_id, count(*) AS n_pos FROM pos GROUP BY wh, doc_id
+    ), df AS (
+      SELECT wh, count(*) AS nd FROM per GROUP BY wh
+    )
+    SELECT doc_id,
+           sum(n_pos)::BIGINT AS n_windows,
+           sum(CASE WHEN nd >= 2 THEN n_pos ELSE 0 END)::BIGINT AS n_dup_pos,
+           round(sum(CASE WHEN nd >= 2 THEN n_pos ELSE 0 END) / sum(n_pos), 6)
+             AS dup_frac
+    FROM per JOIN df USING (wh)
+    GROUP BY doc_id
+    """,
+    doc="Exact-substring dedup signal (training-pipeline family, the "
+        "'Deduplicating Training Data' shape): hash strided W=16/S=8 "
+        "token windows — stride S guarantees any exact duplicate run of "
+        ">= W+S-1 tokens shares a full window — and mark positions whose "
+        "window recurs in >= 2 distinct docs. Shuffle key = window hash "
+        "(md5 here so the DuckDB twin groups identically; production "
+        "swaps xxhash64, same plan). The doc-frequency side is a "
+        "map-side-combinable agg joined back on the hash — skew-safe "
+        "under boilerplate hot windows (AQE skew-join), unlike a window "
+        "function over the hash, which would serialize a hot window's "
+        "rows into one partition. Never a cartesian; scales by shard.",
+)
+def exact_substring_dup(spark, sf_dir):
+    W, S = 16, 8
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+        ).alias("arr"),
+    )
+    wins = F.when(
+        F.size("arr") >= W,
+        F.expr(
+            f"transform(sequence(0, size(arr)-{W}, {S}), "
+            f"i -> md5(concat_ws(' ', slice(arr, i+1, {W}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    pos = docs.select("doc_id", F.explode(wins).alias("wh"))
+    per = pos.groupBy("wh", "doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    df = per.groupBy("wh").agg(F.count(F.lit(1)).alias("nd"))
+    dup = F.when(F.col("nd") >= 2, F.col("n_pos")).otherwise(F.lit(0))
+    return (
+        per.join(df, "wh")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_pos").alias("n_windows"),
+            F.sum(dup).alias("n_dup_pos"),
+            F.round(F.sum(dup) / F.sum("n_pos"), 6).alias("dup_frac"),
+        )
+    )
+
+
+@register(
     "j6_lineart_assoc",
     """
     WITH tagged AS (
@@ -3823,14 +3929,20 @@ _GATE_PRIORITY = [
     "f5_bounds_filter", "j1_bbox_containment", "s2_tagged_scan",
     "j6_lineart_assoc",
     # -- new this round --
-    "cdc_wap_publish", "s4_streaming_tail",
+    "cdc_wap_publish", "s4_streaming_tail", "f11_source_prune",
     # -- already-proven greens kept inside the window (flagship family,
     #    LLM-pipeline core, and entries whose plumbing changed) --
-    "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
+    "q1_pricing_summary", "q3_segment_revenue",
+    # (q5_nation_revenue — strict-green in CORRECTNESS_r02 — yields its
+    # slot to the new exact_substring_dup operator)
+    "exact_substring_dup",
     "f2_dedup_lww", "p1_corpus_pipeline", "dedup_exact",
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
     "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",
-    "decontaminate", "split_assign", "mixture_sample", "vocab_stats",
+    "decontaminate", "split_assign", "mixture_sample",
+    # (vocab_stats — strict-green in CORRECTNESS_r02 — yields its slot
+    # to f11_source_prune so every new/upgraded entry stays inside the
+    # driver's 50-entry window)
     # round-3 strict-oracle upgrades and new lifecycle entries — all
     # surfaced through the driver gate; the slots they take
     # (asof_join_last_order, j1_interval_containment, o1_multikey_rank,

@@ -49,3 +49,30 @@ def scan_documents(spark: SparkSession, sf_dir: str,
         "doc_id", "text", X.lang_id(F.col("text")).alias("lang_out"),
         F.lit("derived").alias("branch"),
     )
+
+
+INVISIBLE_EVENT_TYPES = ("error",)
+
+
+def scan_events(spark: SparkSession, sf_dir: str,
+                filter_invisible: bool = False,
+                invisible_types: tuple = INVISIBLE_EVENT_TYPES) -> DataFrame:
+    """Option-switched event source (F11): the reference skips invisible
+    optional-content layers AT PARSE TIME when
+    ``setIsFilterInvisibleLayers`` is on (DocumentProcessor.java:161) —
+    the hidden layer is never materialized, as opposed to being read and
+    then dropped. Spark analog: the option attaches the predicate
+    directly to the scan relation, before any other transform, so
+    Catalyst pushes it into the parquet reader (.explain shows
+    ``PushedFilters: [Not(EqualTo(event_type, ...))]``); row groups whose
+    column statistics exclude the hidden value are never decompressed,
+    and on a hive-partitioned layout (``.../event_type=error/``) the same
+    predicate prunes whole files via PartitionFilters — the 100 TB shape,
+    where the invisible layers cost zero IO. With the option off the scan
+    is untouched."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    if filter_invisible:
+        ev = ev.where(~F.col("event_type").isin(*invisible_types))
+    return ev

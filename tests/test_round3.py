@@ -8,6 +8,7 @@ from __future__ import annotations
 import os
 
 import pytest
+from pyspark.sql import functions as F
 
 from opendataloader_pdf_spark.cdc import (
     ParquetMergeSink,
@@ -235,3 +236,140 @@ def test_abort_reclaims_dangling_stage_base(spark, tmp_path):
     assert not os.path.exists(base)
     begin_staged(sink)  # and a fresh stage starts cleanly
     abort_staged(sink)
+
+
+def test_f11_source_option_prunes_at_scan(spark, sf_dir):
+    """F11 (hidden-OCG filter, DocumentProcessor.java:161): the
+    filter_invisible option must reach the parquet scan as a pushed
+    filter (row-group stats skip), not survive as a post-scan Filter
+    over a full read — and on a hive-partitioned layout the same option
+    must prune whole files via PartitionFilters."""
+    from opendataloader_pdf_spark.sources.tables import scan_events
+
+    on = scan_events(spark, sf_dir, filter_invisible=True)
+    off = scan_events(spark, sf_dir, filter_invisible=False)
+    plan_on = on._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan_on
+    assert "event_type" in plan_on.split("PushedFilters:")[1].split("]")[0]
+    plan_off = off._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: []" in plan_off
+    n_err = off.where("event_type = 'error'").count()
+    assert n_err > 0 and on.count() == off.count() - n_err
+    assert on.where("event_type = 'error'").count() == 0
+
+
+def test_f11_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """Same option over a layout partitioned by the hidden-layer column:
+    the invisible partition's FILES are excluded from the scan (the
+    100 TB shape — zero IO for hidden layers)."""
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.sources.tables import (
+        INVISIBLE_EVENT_TYPES, load_table)
+
+    part_dir = str(tmp_path / "events_by_type")
+    load_table(spark, sf_dir, "events").write.partitionBy(
+        "event_type").mode("overwrite").parquet(part_dir)
+    ev = spark.read.parquet(part_dir)
+    pruned = ev.where(~F.col("event_type").isin(*INVISIBLE_EVENT_TYPES))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf  # predicate became a partition filter
+    # the hidden partition exists on disk but contributes zero rows
+    assert _os.path.isdir(_os.path.join(part_dir, "event_type=error"))
+    assert pruned.where("event_type = 'error'").count() == 0
+
+
+def _widen_stream(spark, lo, hi, version, n_tok_type, big=False):
+    """Tiny hand-built change stream occupying delivery_seq [lo, hi)."""
+    from pyspark.sql import types as T
+
+    sch = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", n_tok_type, True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("schema_version", T.IntegerType(), True),
+        T.StructField("ts", T.LongType(), True),
+        T.StructField("delivery_seq", T.LongType(), False),
+    ])
+    rows = []
+    for s in range(lo, hi):
+        nt = (2 ** 40 + s) if big else (s % 7 + 1)
+        rows.append((f"d{s % 20}", [s % 97, s % 89], nt, "synth",
+                     s, "update", version, s, s))
+    return spark.createDataFrame(rows, sch)
+
+
+def test_widening_schema_evolution_end_to_end(spark, tmp_path):
+    """North rule: 'additive schema evolution (new columns, WIDENED
+    types)'. diff_schemas widening is unit-tested; this drives the whole
+    engine: a v2 batch whose registry widens n_tok int→long must widen
+    the sink schema at the batch boundary, keep v1 rows readable (cast),
+    store v2 values beyond int range, and leave the LWW/token-equality
+    invariants intact."""
+    from pyspark.sql import types as T
+
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.cdc.schema_evolution import (
+        SchemaEvolutionError, diff_schemas)
+
+    v1 = T.StructType([
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("tokens", T.ArrayType(T.IntegerType()), True),
+        T.StructField("n_tok", T.IntegerType(), True),
+        T.StructField("source", T.StringType(), True),
+        T.StructField("lsn", T.LongType(), False),
+    ])
+    v2 = T.StructType([
+        T.StructField(f.name,
+                      T.LongType() if f.name == "n_tok" else f.dataType,
+                      f.nullable)
+        for f in v1.fields
+    ])
+    sink = ParquetMergeSink(spark, str(tmp_path / "widen"), n_buckets=4)
+    eng = ReplayEngine(spark, sink, registry={1: v1, 2: v2})
+    eng.bootstrap(None, version=1)
+
+    eng.replay(_widen_stream(spark, 0, 100, 1, T.IntegerType()),
+               batch_size=100)
+    assert sink.current_schema()["n_tok"].dataType == T.IntegerType()
+    v1_state = {r["doc_id"]: (r["lsn"], list(r["tokens"]), r["n_tok"])
+                for r in sink.read().collect()}
+    assert len(v1_state) == 20
+
+    eng.replay(_widen_stream(spark, 100, 110, 2, T.LongType(), big=True),
+               batch_size=100)
+    assert sink.current_schema()["n_tok"].dataType == T.LongType()
+    final = {r["doc_id"]: (r["lsn"], list(r["tokens"]), r["n_tok"])
+             for r in sink.read().collect()}
+    assert len(final) == 20
+    for doc, (lsn, toks, nt) in final.items():
+        if int(doc[1:]) < 10:  # d0..d9 rewritten by the v2 batch
+            assert lsn >= 100 and nt > 2 ** 39  # widened value stored
+        else:  # d10..d19 untouched v1 rows, read through the cast
+            assert (lsn, toks, nt) == v1_state[doc]
+            assert isinstance(nt, int) and nt < 8
+
+    # narrowing / incompatible change is rejected before any write
+    bad = T.StructType([
+        T.StructField(f.name,
+                      T.StringType() if f.name == "n_tok" else f.dataType,
+                      f.nullable)
+        for f in v1.fields
+    ])
+    with pytest.raises(SchemaEvolutionError):
+        diff_schemas(sink.current_schema(), bad)
+    head = sink.last_batch_id()
+    eng3 = ReplayEngine(spark, sink, registry={1: v1, 2: v2, 3: bad})
+    with pytest.raises(SchemaEvolutionError):
+        eng3.replay(
+            _widen_stream(spark, 200, 220, 3, T.LongType()).withColumn(
+                "n_tok", F.col("n_tok").cast("string")),
+            batch_size=100)
+    assert sink.last_batch_id() == head  # nothing committed
+    assert sink.current_schema()["n_tok"].dataType == T.LongType()

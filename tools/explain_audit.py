@@ -42,6 +42,8 @@ AUDITED = [
     "s2_tagged_scan",
     "j6_lineart_assoc",
     "ngram_jaccard_pairs",
+    "exact_substring_dup",
+    "f11_source_prune",
     "embedding_near_dup_lsh",
     "a10_lists_from_paragraphs",
     "minhash_lsh_dedup",
