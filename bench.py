@@ -60,6 +60,23 @@ REPLAY_SIZE = {"0.001": (20_000, 2_000, 5_000),
                "0.1": (4_000_000, 200_000, 2_000_000)}
 
 
+def host_calibration() -> float:
+    """Fixed single-thread CPU probe (md5 over 192 MiB, ~0.3 s on a quiet
+    core of this box). The sandbox VM shares a hypervisor; when a
+    neighbor saturates the host this probe inflates roughly in
+    proportion to the steal, giving each replay trial a measured
+    host-quietness tag. Pure stdlib, no Spark — it measures the box,
+    not the engine."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    block = b"\x00" * (1 << 20)
+    for _ in range(192):
+        h.update(block)
+    return time.perf_counter() - t0
+
+
 def run_replay(spark, n_events: int, n_docs: int, workdir: str,
                batch_size: int | None = None, mor: bool = False) -> dict:
     from opendataloader_pdf_spark.cdc import (
@@ -166,20 +183,58 @@ def main() -> None:
     # small warm-up systematically understates the median
     run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
     # shared-host run-to-run variance swings up to several x when the
-    # hypervisor is contended; report the median of 5 trials so the
-    # headline throughput measures the engine, not the neighbor's
-    # workload (same protocol as tools/scaling_bench.py)
-    trials = sorted(
-        (run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
-         for _ in range(5)),
+    # hypervisor is contended; each trial is tagged with a single-thread
+    # host-calibration probe, and the headline is the median over QUIET
+    # trials (calibration within 25% of the best observed) so the number
+    # measures the engine, not the neighbor's workload. If fewer than 3
+    # of the first 5 trials land on a quiet host, up to 3 extra trials
+    # run to catch a quiet window; if the host never goes quiet, the
+    # plain median of everything is reported (honest fallback). All
+    # trials + calibrations are published either way.
+    trials = []
+    for _ in range(5):
+        calib = host_calibration()
+        t = run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
+        t["calib_secs"] = round(calib, 3)
+        trials.append(t)
+
+    def quiet_of(ts):
+        best = min(t["calib_secs"] for t in ts)
+        return [t for t in ts if t["calib_secs"] <= 1.25 * best]
+
+    extra = 0
+    while len(quiet_of(trials)) < 3 and extra < 3:
+        calib = host_calibration()
+        t = run_replay(spark, n_events, n_docs, workdir, batch_size=batch_size)
+        t["calib_secs"] = round(calib, 3)
+        trials.append(t)
+        extra += 1
+    quiet = quiet_of(trials)
+    pool = sorted(quiet if len(quiet) >= 2 else trials,
+                  key=lambda r: r["events_per_sec"])
+    replay = dict(pool[len(pool) // 2])
+    replay["trial_events_per_sec"] = [
+        t["events_per_sec"]
+        for t in sorted(trials, key=lambda r: r["events_per_sec"])
+    ]
+    replay["trial_calib_secs"] = [
+        t["calib_secs"]
+        for t in sorted(trials, key=lambda r: r["events_per_sec"])
+    ]
+    replay["quiet_trials_used"] = len(pool)
+    # merge-on-read ingest mode: same reduce, append-only delta commits,
+    # LWW resolved at read (final_rows pays the resolve — kept honest);
+    # median of 3 under the same shared-host rationale
+    mor_trials = sorted(
+        (run_replay(spark, n_events, n_docs, workdir,
+                    batch_size=batch_size, mor=True)
+         for _ in range(3)),
         key=lambda r: r["events_per_sec"],
     )
-    replay = trials[len(trials) // 2]
-    replay["trial_events_per_sec"] = [t["events_per_sec"] for t in trials]
-    # merge-on-read ingest mode: same reduce, append-only delta commits,
-    # LWW resolved at read (final_rows pays the resolve — kept honest)
-    replay_mor = run_replay(spark, n_events, n_docs, workdir,
-                            batch_size=batch_size, mor=True)
+    replay_mor = mor_trials[1]
+    replay_mor["trial_events_per_sec"] = [
+        t["events_per_sec"] for t in mor_trials
+    ]
 
     total = round(time.time() - total0, 3)
     print(json.dumps({

@@ -2548,6 +2548,89 @@ def exact_substring_dup(spark, sf_dir):
 
 
 @register(
+    "dsir_importance",
+    """
+    WITH w AS (
+      SELECT doc_id, source IN ('src0','src1','src2','src3') AS is_t,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), e AS (
+      SELECT doc_id, is_t, substr(md5(unnest(arr)), 1, 3) AS b FROM w
+    ), model AS (
+      SELECT b, count(*) AS cr,
+             sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+      FROM e GROUP BY b
+    ), tots AS (
+      SELECT sum(cr) AS tr, sum(ct) AS tt FROM model
+    ), md AS (
+      SELECT b, CAST(floor(1e9 * (ct + 1) / (tt + 4096)) AS BIGINT)
+              - CAST(floor(1e9 * (cr + 1) / (tr + 4096)) AS BIGINT) AS delta
+      FROM model, tots
+    ), sc AS (
+      SELECT doc_id, count(*) AS n_words, sum(delta) AS s
+      FROM e JOIN md USING (b) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS dsir_score,
+           round(s * 1.0 / n_words, 6) AS dsir_avg
+    FROM sc
+    """,
+    doc="DSIR-style importance scoring (Xie et al. 2023, 'Data Selection "
+        "via Importance Resampling'; training-pipeline family): learn "
+        "hashed-unigram frequency models of a TARGET domain (sources "
+        "src0-src3) and the RAW corpus over 4096 md5-prefix buckets, then "
+        "score every raw doc by its aggregate target-vs-raw frequency "
+        "contrast — the docs that look most like the target domain rank "
+        "highest for selection. Determinism note: the per-bucket weight "
+        "is an INTEGER (floor of the 1e9-scaled add-one-smoothed "
+        "probability difference), so per-doc scores are exact integer "
+        "sums — order-free across partitions and bit-identical to the "
+        "DuckDB twin; a real deployment swaps the one weight expression "
+        "for the paper's log-ratio (ln is the only op whose last-ulp "
+        "varies across engines). Scale shape: model = one "
+        "map-side-combinable agg to <= 4096 rows (cached — it feeds both "
+        "the totals and the weights), scoring = broadcast join + partial "
+        "agg by doc; never a cartesian, no driver collect.",
+)
+def dsir_importance(spark, sf_dir):
+    B = 4096
+    tgt = ("src0", "src1", "src2", "src3")
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("source").isin(*tgt).alias("is_t"),
+        F.split(
+            F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " "), " "
+        ).alias("arr"),
+    )
+    e = docs.select(
+        "doc_id", "is_t",
+        F.explode(
+            F.transform("arr", lambda w: F.substring(F.md5(w), 1, 3))
+        ).alias("b"),
+    )
+    model = e.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum(F.when(F.col("is_t"), 1).otherwise(0)).alias("ct"),
+    ).cache()  # <= 4096 rows; feeds both the totals agg and the weights
+    tots = model.agg(F.sum("cr").alias("tr"), F.sum("ct").alias("tt"))
+    md = model.crossJoin(F.broadcast(tots)).select(
+        "b",
+        (
+            F.floor(F.lit(1e9) * (F.col("ct") + 1) / (F.col("tt") + B))
+            - F.floor(F.lit(1e9) * (F.col("cr") + 1) / (F.col("tr") + B))
+        ).alias("delta"),
+    )
+    sc = e.join(F.broadcast(md), "b").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("delta").alias("dsir_score"),
+    )
+    return sc.select(
+        "doc_id", "n_words", "dsir_score",
+        F.round(F.col("dsir_score") / F.col("n_words"), 6).alias("dsir_avg"),
+    )
+
+
+@register(
     "j6_lineart_assoc",
     """
     WITH tagged AS (
@@ -3932,10 +4015,11 @@ _GATE_PRIORITY = [
     "cdc_wap_publish", "s4_streaming_tail", "f11_source_prune",
     # -- already-proven greens kept inside the window (flagship family,
     #    LLM-pipeline core, and entries whose plumbing changed) --
-    "q1_pricing_summary", "q3_segment_revenue",
-    # (q5_nation_revenue — strict-green in CORRECTNESS_r02 — yields its
-    # slot to the new exact_substring_dup operator)
-    "exact_substring_dup",
+    "q1_pricing_summary",
+    # (q3_segment_revenue / q5_nation_revenue — strict-green in
+    # CORRECTNESS_r02 — yield their slots to the new exact_substring_dup
+    # and dsir_importance operators)
+    "exact_substring_dup", "dsir_importance",
     "f2_dedup_lww", "p1_corpus_pipeline", "dedup_exact",
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
     "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",

@@ -43,6 +43,7 @@ AUDITED = [
     "j6_lineart_assoc",
     "ngram_jaccard_pairs",
     "exact_substring_dup",
+    "dsir_importance",
     "f11_source_prune",
     "embedding_near_dup_lsh",
     "a10_lists_from_paragraphs",
