@@ -11,7 +11,10 @@ from opendataloader_pdf_spark.cdc.patches import (  # noqa: F401
     reduce_batch_patches,
     resolve_patches,
 )
-from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink  # noqa: F401
+from opendataloader_pdf_spark.cdc.storage import (  # noqa: F401
+    ConcurrentCommitError,
+    ParquetMergeSink,
+)
 from opendataloader_pdf_spark.cdc.mor import MergeOnReadSink  # noqa: F401
 from opendataloader_pdf_spark.cdc.engine import ReplayEngine  # noqa: F401
 from opendataloader_pdf_spark.cdc.iceberg import IcebergSink  # noqa: F401

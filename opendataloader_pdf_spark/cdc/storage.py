@@ -51,6 +51,14 @@ from pyspark.sql import types as T
 HEAD = "HEAD"
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer moved this table's head between this operation's
+    manifest read and its commit (optimistic concurrency, the CAS
+    Iceberg performs on its metadata pointer). The losing writer must
+    re-read the table state and retry — committing blindly would
+    silently drop the other writer's snapshot from the chain."""
+
+
 def manifest_data_paths(m: dict) -> set[str]:
     """Every data-dir-relative path a manifest references (bucket bases +
     MoR delta chains). THE single definition of 'what a manifest keeps
@@ -110,9 +118,25 @@ class ParquetMergeSink:
         nb = m.get("n_buckets")
         if nb is not None and nb != self.n_buckets:
             self.n_buckets = int(nb)
+        # optimistic-concurrency tag: which head this manifest was read
+        # from. _commit CASes against it and strips it before writing —
+        # it never lands in a manifest file.
+        m["_read_head"] = name
         return m
 
     def _commit(self, m: dict) -> None:
+        expected = m.pop("_read_head", None)
+        head = self._head_path()
+        if expected is not None and os.path.exists(head):
+            with open(head) as f:
+                cur = f.read().strip()
+            if cur != expected:
+                raise ConcurrentCommitError(
+                    f"head moved from {expected} to {cur} since this "
+                    f"operation read the table — a concurrent writer "
+                    f"committed; re-read and retry (this table follows "
+                    f"Iceberg's single-winner CAS rule)"
+                )
         name = f"manifest-{m['snapshot_id']}.json"
         _atomic_write(os.path.join(self.meta_dir, name), json.dumps(m, indent=1))
         _atomic_write(self._head_path(), name)

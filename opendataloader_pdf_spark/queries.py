@@ -2631,6 +2631,45 @@ def dsir_importance(spark, sf_dir):
 
 
 @register(
+    "rollup_corpus_stats",
+    """
+    SELECT coalesce(source, '<all>') AS source,
+           coalesce(lang, '<all>') AS lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           round(avg(n_chars), 6) AS avg_chars
+    FROM documents
+    GROUP BY ROLLUP (source, lang)
+    """,
+    doc="Corpus statistics at every rollup level (per source+lang, per "
+        "source, grand total) in ONE pass — the curation-dashboard "
+        "aggregate a 100 TB pipeline runs before/after each filter "
+        "stage. Spark-native multi-dimensional agg: df.rollup → a single "
+        "Expand + hash-aggregate plan (each input row fans to its 3 "
+        "grouping sets map-side, partial agg combines before the one "
+        "shuffle) — one scan where naive per-level UNION ALL queries "
+        "scan 3x. NULL grouping keys are disambiguated to '<all>' so the "
+        "subtotal rows are first-class (and hash-comparable to the "
+        "DuckDB twin).",
+)
+def rollup_corpus_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.rollup("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("<all>")).alias("source"),
+            F.coalesce(F.col("lang"), F.lit("<all>")).alias("lang"),
+            "n_docs", "sum_chars", "avg_chars",
+        )
+    )
+
+
+@register(
     "j6_lineart_assoc",
     """
     WITH tagged AS (
@@ -4023,7 +4062,10 @@ _GATE_PRIORITY = [
     "f2_dedup_lww", "p1_corpus_pipeline", "dedup_exact",
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
     "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",
-    "decontaminate", "split_assign", "mixture_sample",
+    "decontaminate", "split_assign",
+    # (mixture_sample — strict-green in CORRECTNESS_r02 — yields its
+    # slot to the new rollup_corpus_stats operator)
+    "rollup_corpus_stats",
     # (vocab_stats — strict-green in CORRECTNESS_r02 — yields its slot
     # to f11_source_prune so every new/upgraded entry stays inside the
     # driver's 50-entry window)

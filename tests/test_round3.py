@@ -373,3 +373,48 @@ def test_widening_schema_evolution_end_to_end(spark, tmp_path):
             batch_size=100)
     assert sink.last_batch_id() == head  # nothing committed
     assert sink.current_schema()["n_tok"].dataType == T.LongType()
+
+
+def test_concurrent_commit_cas(spark, tmp_path):
+    """Optimistic concurrency (Iceberg CAS parity): when two writers
+    race on the same table root, the second commit must fail with
+    ConcurrentCommitError instead of silently dropping the first
+    writer's snapshot from the chain — and the loser retries cleanly
+    after re-reading."""
+    from pyspark.sql import types as T
+
+    from opendataloader_pdf_spark.cdc import (
+        ConcurrentCommitError,
+        ParquetMergeSink,
+        ReplayEngine,
+    )
+
+    root = str(tmp_path / "cas")
+    a = ParquetMergeSink(spark, root, n_buckets=4)
+    eng = ReplayEngine(spark, a)
+    eng.bootstrap(None)
+    ev = _widen_stream(spark, 0, 40, 1, T.IntegerType())
+    eng.replay(ev, batch_size=40)
+
+    # writer B opens the same table and reads the manifest
+    b = ParquetMergeSink(spark, root, n_buckets=4)
+    mb = b.manifest()
+    # writer A commits first (metadata-only bump via schema evolution)
+    ma = a.manifest()
+    ma["snapshot_id"] += 1
+    a._commit(ma)
+    # B's stale commit must CAS-fail...
+    mb["snapshot_id"] += 2
+    with pytest.raises(ConcurrentCommitError):
+        b._commit(mb)
+    # ...and the table is untouched by the failed commit: A's snapshot
+    # is head, a fresh read works, and B succeeds after re-reading
+    assert b.snapshot_id() == ma["snapshot_id"]
+    mb2 = b.manifest()
+    mb2["snapshot_id"] += 1
+    b._commit(mb2)
+    assert a.snapshot_id() == mb2["snapshot_id"]
+    # the normal single-writer replay path still commits fine
+    eng.replay(_widen_stream(spark, 40, 80, 1, T.IntegerType()),
+               batch_size=40)
+    assert a.read().count() == 20

@@ -44,6 +44,7 @@ AUDITED = [
     "ngram_jaccard_pairs",
     "exact_substring_dup",
     "dsir_importance",
+    "rollup_corpus_stats",
     "f11_source_prune",
     "embedding_near_dup_lsh",
     "a10_lists_from_paragraphs",

@@ -119,8 +119,25 @@ def child(cpus: int, events_path: str, workdir: str, batch_size: int,
     spark.stop()
 
 
+def host_calibration() -> float:
+    """Fixed single-thread CPU probe (md5 over 192 MiB, ~0.3 s on a
+    quiet core) — tags each level run with measured host quietness so a
+    contended-hypervisor period is visible in the published evidence
+    instead of inferred from the throughput it distorted (same probe as
+    bench.py)."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = hashlib.md5()
+    block = b"\x00" * (1 << 20)
+    for _ in range(192):
+        h.update(block)
+    return time.perf_counter() - t0
+
+
 def run_level(cpus: int, events_path: str, workdir: str, batch_size: int,
               attempts: int = 3) -> dict:
+    calib = host_calibration()
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--child", str(cpus),
          "--events-path", events_path, "--workdir", workdir,
@@ -131,7 +148,9 @@ def run_level(cpus: int, events_path: str, workdir: str, batch_size: int,
         sys.stderr.write(out.stderr[-4000:])
         raise SystemExit(f"child local[{cpus}] failed")
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    rec = json.loads(line)
+    rec["calib_secs"] = round(calib, 3)
+    return rec
 
 
 def main() -> None:
