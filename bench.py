@@ -32,6 +32,8 @@ BENCH_QUERIES = [
     "j1_interval_containment",
     "j3_rank_k_repeats",
     "token_pipeline",
+    "exact_substring_dup",
+    "dsir_importance",
     "ngram_jaccard_pairs",
     "minhash_lsh_dedup",
     "dedup_components",
