@@ -93,3 +93,36 @@ def mixture_sample(
         pairs += [F.lit(src), F.lit(int(round(rate * _BUCKETS)))]
     thr = F.create_map(*pairs)[F.col(source_col)]
     return df.filter(hash_bucket(F.col(id_col), salt) < thr)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    id_col: str,
+    stratum_col: str,
+    k: int,
+    salt: str = "strat1",
+    rank_col: str = "sample_rk",
+) -> DataFrame:
+    """EXACTLY k rows per stratum (vs ``mixture_sample``'s rate-based
+    expected counts): rows are ordered inside each stratum by the full
+    md5 digest of (salt, id) — a deterministic uniform permutation — and
+    the first k are kept. Same guarantees as ``hash_split``: re-runs and
+    repartitions reproduce the identical sample; growing the corpus can
+    only swap members in/out by hash order, never by layout.
+
+    Plan: one hash-partitioned exchange on the stratum key plus a
+    row_number window. Per-stratum data must be rank-able, so a
+    pathologically hot stratum sorts on one reducer; for such strata
+    pre-filter with ``mixture_sample`` at a rate that bounds the
+    stratum below executor memory (two-phase sample), then exact-k the
+    survivors — k is exact either way because the pre-filter is a
+    superset by construction.
+    """
+    from pyspark.sql import Window
+
+    order = F.md5(F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )

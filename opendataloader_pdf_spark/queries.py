@@ -4134,6 +4134,199 @@ def length_percentile_filter(spark, sf_dir):
 
 
 # =====================================================================
+# Corpus-model scoring & retrieval (CCNet-style LM filter, BM25 search,
+# feature-hashing embedder, exact stratified sampling)
+# =====================================================================
+
+
+@register(
+    "lm_perplexity_filter",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), uni AS (
+      SELECT word, count(*) AS c1
+      FROM (SELECT unnest(arr) AS word FROM w) GROUP BY word
+    ), v AS (SELECT count(*) AS vocab FROM uni),
+    uni_top AS (
+      SELECT word, c1 FROM (
+        SELECT word, c1, row_number() OVER (ORDER BY c1 DESC, word ASC) AS rk
+        FROM uni) WHERE rk <= 2000
+    ), occ AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(arr) >= 2
+                    THEN [array_to_string(arr[i:i+1], ' ')
+                          for i in range(1, len(arr))]
+                    ELSE [] END) AS bigram
+      FROM w
+    ), bic AS (
+      SELECT bigram, count(*) AS c12 FROM occ GROUP BY bigram
+    ), bi_top AS (
+      SELECT bigram, c12 FROM (
+        SELECT bigram, c12, row_number() OVER (ORDER BY c12 DESC, bigram ASC) AS rk
+        FROM bic) WHERE rk <= 2000
+    ), scored AS (
+      SELECT o.doc_id,
+             ln((coalesce(b.c12, 0) + 0.5)
+                / (coalesce(u.c1, 0) + 0.5 * (SELECT vocab FROM v))) AS lp
+      FROM occ o
+      LEFT JOIN bi_top b USING (bigram)
+      LEFT JOIN uni_top u ON u.word = string_split(o.bigram, ' ')[1]
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+           round(-avg(lp), 6) AS cross_entropy,
+           (round(-avg(lp), 6) < 3.44) AS keep
+    FROM scored GROUP BY doc_id
+    """,
+    doc="CCNet/KenLM-style quality filter: add-alpha bigram LM built from "
+        "the corpus itself (top-2000 bigrams/unigrams by deterministic "
+        "rank — the cap keeps the model broadcastable at any corpus "
+        "size), per-doc cross-entropy under it, keep flag below a fixed "
+        "band. Plan: two broadcast left joins over the exploded bigram "
+        "stream + one map-side-combinable per-doc agg.",
+)
+def lm_perplexity_filter(spark, sf_dir):
+    from opendataloader_pdf_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    return LM.lm_score(d, "doc_id", "text",
+                       top_k_bigrams=2000, top_k_unigrams=2000,
+                       alpha=0.5, keep_below=3.44)
+
+
+@register(
+    "bm25_retrieval",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), n AS (
+      SELECT count(*)::DOUBLE AS nd, avg(len(arr))::DOUBLE AS avgdl FROM w
+    ), tf AS (
+      SELECT doc_id, t, count(*)::BIGINT AS tf
+      FROM (SELECT doc_id, unnest(arr) AS t FROM w)
+      WHERE t IN ('table', 'join', 'window', 'hash', 'filter')
+      GROUP BY doc_id, t
+    ), dfq AS (
+      SELECT t, count(*)::DOUBLE AS df FROM tf GROUP BY t
+    ), dl AS (
+      SELECT doc_id, len(arr)::DOUBLE AS dl FROM w
+    ), contrib AS (
+      SELECT tf.doc_id,
+             ln((n.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / n.avgdl)) AS c
+      FROM tf JOIN dfq USING (t) JOIN dl USING (doc_id) CROSS JOIN n
+    ), scored AS (
+      SELECT doc_id, round(sum(c), 6) AS score FROM contrib GROUP BY doc_id
+    ), ranked AS (
+      SELECT doc_id, score,
+             row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, score, rk::BIGINT AS rk FROM ranked WHERE rk <= 20
+    """,
+    doc="Okapi BM25 top-20 retrieval for a literal bag-of-terms query: "
+        "inverted-index shape — per-(doc,term) tf agg over the exploded "
+        "term stream (each doc contributes <= |query| keys, uniform by "
+        "construction), broadcast df/idf, deterministic (score desc, id) "
+        "rank. The lexical-search primitive of a curation pipeline.",
+)
+def bm25_retrieval(spark, sf_dir):
+    from opendataloader_pdf_spark.functions import lm as LM
+
+    d = _t(spark, sf_dir, "documents")
+    return LM.bm25(d, "doc_id", "text",
+                   ["table", "join", "window", "hash", "filter"], k=20)
+
+
+@register(
+    "feature_hash_embed",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'), ' ') AS arr
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5(word), 1, 4))::INT % 64 AS bucket,
+             CASE WHEN ('0x' || substr(md5(word), 5, 1))::INT < 8
+                  THEN 1 ELSE -1 END AS sgn
+      FROM (SELECT doc_id, unnest(arr) AS word FROM w)
+    ), agg AS (
+      SELECT doc_id, bucket, sum(sgn)::BIGINT AS v FROM h GROUP BY doc_id, bucket
+    ), grid AS (
+      SELECT d.doc_id, r.range::INT AS bucket
+      FROM (SELECT DISTINCT doc_id FROM w) d CROSS JOIN range(0, 64) r
+    ), full_v AS (
+      SELECT g.doc_id, g.bucket, coalesce(a.v, 0)::BIGINT AS v
+      FROM grid g LEFT JOIN agg a ON a.doc_id = g.doc_id AND a.bucket = g.bucket
+    )
+    SELECT doc_id,
+           md5(string_agg(v::VARCHAR, ',' ORDER BY bucket)) AS emb_digest,
+           sum(v * v)::BIGINT AS l2sq,
+           sum(CASE WHEN v <> 0 THEN 1 ELSE 0 END)::INT AS n_nonzero
+    FROM full_v GROUP BY doc_id
+    """,
+    doc="Feature-hashing document embedder (hashing trick, Weinberger "
+        "ICML'09): md5 bucket+sign per word, signed-count dense vector "
+        "of dim 64 — EXACT integer accumulators so the oracle matches "
+        "bit-for-bit (digest over the densified vector). No vocabulary, "
+        "no model broadcast: embeds a 100 TB corpus with one explode + "
+        "two doc-keyed map-side-combinable aggs (functions/embed.py).",
+)
+def feature_hash_embed_q(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.embed import feature_hash_embed
+
+    d = _t(spark, sf_dir, "documents")
+    e = feature_hash_embed(d, "doc_id", "text", dim=64)
+    return e.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform(
+            F.col("embedding"), lambda v: v.cast("string")
+        ))).alias("emb_digest"),
+        F.aggregate(
+            F.col("embedding"), F.lit(0).cast("long"), lambda a, v: a + v * v
+        ).alias("l2sq"),
+        F.aggregate(
+            F.col("embedding"), F.lit(0),
+            lambda a, v: a + F.when(v != 0, 1).otherwise(0),
+        ).cast("int").alias("n_nonzero"),
+    )
+
+
+@register(
+    "stratified_sample_exact",
+    """
+    WITH r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('strat1:' || doc_id::VARCHAR) ASC, doc_id ASC
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source, rk::BIGINT AS sample_rk FROM r WHERE rk <= 30
+    """,
+    doc="EXACTLY-k-per-stratum sample (vs mixture_sample's rate-based "
+        "expected counts): deterministic md5-permutation order inside "
+        "each stratum, first 30 kept — reproducible across runs / "
+        "repartitions / engines, append-stable membership under corpus "
+        "growth (functions/sampling.py:stratified_sample_exact).",
+)
+def stratified_sample_exact_q(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.sampling import (
+        stratified_sample_exact,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return stratified_sample_exact(d, "doc_id", "source", 30)
+
+
+# =====================================================================
 # Driver-gate ordering
 # =====================================================================
 # The harness's CORRECTNESS gate checks the catalog in dict order and
@@ -4157,16 +4350,19 @@ _GATE_PRIORITY = [
     "j6_lineart_assoc",
     # -- new this round --
     "cdc_wap_publish", "s4_streaming_tail", "f11_source_prune",
+    "lm_perplexity_filter", "bm25_retrieval", "feature_hash_embed",
+    "stratified_sample_exact",
     # -- already-proven greens kept inside the window (flagship family,
     #    LLM-pipeline core, and entries whose plumbing changed) --
-    "q1_pricing_summary",
-    # (q3_segment_revenue / q5_nation_revenue — strict-green in
-    # CORRECTNESS_r02 — yield their slots to the new exact_substring_dup
-    # and dsir_importance operators)
+    # (q1_pricing_summary / q3_segment_revenue / q5_nation_revenue /
+    # f2_dedup_lww / dedup_exact / token_pipeline — strict-green in
+    # CORRECTNESS_r02 — yield their slots to the new exact_substring_dup,
+    # dsir_importance, lm_perplexity_filter, bm25_retrieval,
+    # feature_hash_embed and stratified_sample_exact operators)
     "exact_substring_dup", "dsir_importance",
-    "f2_dedup_lww", "p1_corpus_pipeline", "dedup_exact",
+    "p1_corpus_pipeline",
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
-    "cosine_topk", "embedding_near_dup", "token_pipeline", "token_splice",
+    "cosine_topk", "embedding_near_dup", "token_splice",
     "decontaminate",
     # (mixture_sample / split_assign — strict-green in CORRECTNESS_r02 —
     # yield their slots to the new rollup_corpus_stats and
