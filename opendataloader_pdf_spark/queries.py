@@ -4327,6 +4327,250 @@ def stratified_sample_exact_q(spark, sf_dir):
 
 
 # =====================================================================
+# Tokenizer-training / mixture-diagnostics family (round 3)
+# =====================================================================
+
+@register(
+    "bpe_pair_counts",
+    r"""
+    WITH t AS (
+      SELECT regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+    ), p AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS pair
+      FROM t WHERE len(toks) >= 2
+    ), c AS (
+      SELECT pair, count(*) AS pair_count FROM p GROUP BY pair
+    )
+    SELECT pair, pair_count,
+           row_number() OVER (ORDER BY pair_count DESC, pair) AS merge_rank
+    FROM c ORDER BY merge_rank LIMIT 50
+    """,
+    doc="The pair-statistics step of BPE tokenizer training (Sennrich et "
+        "al. 2016): count adjacent token pairs across the corpus and rank "
+        "the merge candidates. Adjacent pairs are formed JVM-side with "
+        "transform(sequence(...)) over the split token array (one explode, "
+        "no per-row Python), counted with a map-side-combinable groupBy, "
+        "and the top-50 is taken with orderBy(...).limit(50) — Spark "
+        "compiles that to TakeOrderedAndProject (per-partition heaps + "
+        "driver merge), NOT a single-partition global sort; the final "
+        "row_number window runs over only the 50 survivors. At 100 TB the "
+        "shuffle carries one row per DISTINCT pair (vocab², corpus-size-"
+        "independent) — the shape a tokenizer-training sweep needs.",
+)
+def bpe_pair_counts(spark, sf_dir):
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(F.split(F.trim("text"), r"\s+").alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"
+            )
+        ).alias("pair")
+    )
+    c = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("pair_count"))
+    top = c.orderBy(F.desc("pair_count"), F.asc("pair")).limit(50)
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return top.select(
+        "pair", "pair_count", F.row_number().over(w).alias("merge_rank")
+    )
+
+
+@register(
+    "token_kl_mixture",
+    r"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+      FROM documents
+    ), sc AS (
+      SELECT source, token, count(*) AS c FROM tok GROUP BY source, token
+    ), st AS (SELECT source, sum(c) AS tot FROM sc GROUP BY source),
+    cc AS (SELECT token, sum(c) AS corpus_c FROM sc GROUP BY token),
+    ct AS (SELECT sum(c) AS gtot FROM sc)
+    SELECT source, CAST(tot AS BIGINT) AS n_tokens, count(*) AS vocab_used,
+           round(sum((c / tot) * ln((c / tot) / (corpus_c / gtot))), 6)
+             AS kl_nats
+    FROM sc JOIN st USING (source) JOIN cc USING (token) CROSS JOIN ct
+    GROUP BY source, tot
+    """,
+    doc="Data-mixture diagnostics: per-source KL divergence of the source "
+        "unigram token distribution against the corpus distribution — the "
+        "quantity mixture reweighting (DoReMi-style) and domain-shift "
+        "monitors need per ingest batch. One corpus-scale shuffle builds "
+        "the (source, token) counts with map-side partial aggregation; "
+        "everything downstream (per-source totals, corpus marginals, the "
+        "grand total) is vocab-bounded and broadcast back, so no second "
+        "pass over the corpus. FP safety: each source sums only "
+        "vocab-many double terms, so round(...,6) is stable across "
+        "partition orders and engines.",
+)
+def token_kl_mixture(spark, sf_dir):
+    tok = _t(spark, sf_dir, "documents").select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    )
+    sc = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("c"))
+    st = sc.groupBy("source").agg(F.sum("c").alias("tot"))
+    cc = sc.groupBy("token").agg(F.sum("c").alias("corpus_c"))
+    gt = sc.agg(F.sum("c").alias("gtot"))
+    p = F.col("c") / F.col("tot")
+    q = F.col("corpus_c") / F.col("gtot")
+    return (
+        sc.join(F.broadcast(st), "source")
+        .join(F.broadcast(cc), "token")
+        .crossJoin(F.broadcast(gt))
+        .groupBy("source", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("vocab_used"),
+            F.round(F.sum(p * F.log(p / q)), 6).alias("kl_nats"),
+        )
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_tokens"),
+            "vocab_used",
+            "kl_nats",
+        )
+    )
+
+
+@register(
+    "cdc_pack_maintain",
+    """
+    WITH mx AS (SELECT max(event_id) + 1 AS b FROM events),
+    base AS (
+      SELECT 'd' || (user_id % 500)::VARCHAR AS doc_id, event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             ((user_id + event_id) % 13 + 1)::BIGINT AS n_tok
+      FROM events
+    ), patch AS (
+      SELECT 'd' || (user_id % 500)::VARCHAR AS doc_id,
+             event_id + (SELECT b FROM mx) AS lsn,
+             CASE WHEN event_type = 'click' THEN 'delete'
+                  ELSE 'update' END AS op,
+             ((user_id * 7 + event_id) % 11 + 1)::BIGINT AS n_tok
+      FROM events WHERE user_id % 500 < 25
+    ), ch AS (SELECT * FROM base UNION ALL SELECT * FROM patch),
+    s2 AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(n_tok, lsn) AS n_tok
+      FROM ch GROUP BY doc_id
+    ), live AS (
+      SELECT doc_id, (substr(doc_id, 2)::INT % 64) AS shard, n_tok
+      FROM s2 WHERE op != 'delete'
+    ), packed AS (
+      SELECT doc_id, shard, n_tok,
+             sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) - n_tok AS strt
+      FROM live
+    )
+    SELECT doc_id, shard::BIGINT AS shard, n_tok,
+           (strt // 64)::BIGINT AS pack_id,
+           (strt % 64)::BIGINT AS pack_off
+    FROM packed
+    """,
+    doc="Incremental PACKED-SEQUENCE index maintenance over the CDC "
+        "changelog — the graft cell's three axes composed (CDC x tokens x "
+        "packing). Training batches consume fixed-budget packs of "
+        "tokenized docs; when the corpus is a live CDC table, repacking "
+        "the whole corpus per commit is the thing you cannot afford at "
+        "10^10 events. The pack assignment is made CANONICAL and shard-"
+        "local (docs hash into shards; within a shard, contiguous offset "
+        "packing in doc_id order), so an update/delete/insert invalidates "
+        "only its own shard: the maintainer replays the base stream "
+        "through the REAL engine (LSN-guarded MERGE), packs the snapshot "
+        "once, applies a patch batch touching 5%% of the doc space, reads "
+        "the net changes via changes_between (bucket-pruned snapshot "
+        "diff), and rebuilds ONLY the dirty shards (broadcast semi-join), "
+        "keeping every clean shard's rows untouched (broadcast anti-join "
+        "+ union). Because the assignment is canonical, the incremental "
+        "result is byte-identical to a from-scratch repack of the final "
+        "state — which is exactly what the oracle recomputes "
+        "declaratively, so the gate PROVES incremental == full rebuild. "
+        "Work per commit is O(changed shards x shard size), corpus-size-"
+        "independent; cf. reference lifecycle core/Processor.java "
+        "(re-derive on change) re-expressed as O(delta) maintenance.",
+)
+def cdc_pack_maintain(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.cdc.changelog import changes_between
+
+    ev = _t(spark, sf_dir, "events")
+    b = int(ev.agg(F.max("event_id")).collect()[0][0]) + 1
+
+    def stream(src, lsn_col, delete_type, tok_mul, tok_mod):
+        n_tok = (
+            (F.col("user_id") * tok_mul + F.col("event_id")) % tok_mod + 1
+        ).cast("int")
+        return src.select(
+            F.concat(F.lit("d"), (F.col("user_id") % 500).cast("string"))
+            .alias("doc_id"),
+            lsn_col.alias("lsn"),
+            F.when(F.col("event_type") == delete_type, F.lit("delete"))
+            .otherwise(F.lit("update")).alias("op"),
+            F.sequence(F.lit(0).cast("int"), n_tok - 1).alias("tokens"),
+            n_tok.alias("n_tok"),
+            F.col("event_type").alias("source"),
+            F.lit(1).cast("int").alias("schema_version"),
+            F.col("ts"),
+            lsn_col.cast("long").alias("delivery_seq"),
+        )
+
+    base = stream(ev, F.col("event_id"), "purchase", 1, 13)
+    patch = stream(
+        ev.filter(F.col("user_id") % 500 < 25),
+        F.col("event_id") + F.lit(b), "click", 7, 11,
+    )
+    ch = base.unionByName(patch)  # delivery_seq: base [0,b), patch [b,2b)
+
+    root = _engine_workdir("packidx_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=b, max_batches=1)  # batch 0 == base stream
+    sid_mid = sink.snapshot_id()
+
+    n_shards, budget = 64, 64
+
+    def shard(col):
+        return (F.substring(col, 2, 12).cast("int") % n_shards).cast("long")
+
+    def canonical_pack(df):
+        w = Window.partitionBy("shard").orderBy("doc_id")
+        start = F.sum("n_tok").over(w) - F.col("n_tok")
+        return df.select(
+            "doc_id", "shard",
+            F.col("n_tok").cast("long").alias("n_tok"),
+            F.floor(start / budget).cast("long").alias("pack_id"),
+            (start % budget).cast("long").alias("pack_off"),
+        )
+
+    # full build once, off the immutable mid snapshot
+    idx1 = canonical_pack(
+        sink.read().select(
+            "doc_id", shard(F.col("doc_id")).alias("shard"), "n_tok"
+        )
+    )
+
+    eng.replay(ch, batch_size=b)  # batch 1 == the patch commits
+    net = changes_between(sink, sid_mid, sink.snapshot_id())
+    dirty = net.select(shard(F.col("doc_id")).alias("shard")).distinct()
+
+    final = sink.read().select(
+        "doc_id", shard(F.col("doc_id")).alias("shard"), "n_tok"
+    )
+    repacked = canonical_pack(final.join(F.broadcast(dirty), "shard"))
+    return idx1.join(F.broadcast(dirty), "shard", "left_anti").unionByName(
+        repacked
+    )
+
+
+# =====================================================================
 # Driver-gate ordering
 # =====================================================================
 # The harness's CORRECTNESS gate checks the catalog in dict order and
@@ -4360,10 +4604,13 @@ _GATE_PRIORITY = [
     # dsir_importance, lm_perplexity_filter, bm25_retrieval,
     # feature_hash_embed and stratified_sample_exact operators)
     "exact_substring_dup", "dsir_importance",
+    # -- round-3 session-2 additions (never driver-checked; cosine_topk /
+    #    token_splice / decontaminate — strict-green in CORRECTNESS_r02 —
+    #    yield their slots) --
+    "cdc_pack_maintain", "bpe_pair_counts", "token_kl_mixture",
     "p1_corpus_pipeline",
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
-    "cosine_topk", "embedding_near_dup", "token_splice",
-    "decontaminate",
+    "embedding_near_dup",
     # (mixture_sample / split_assign — strict-green in CORRECTNESS_r02 —
     # yield their slots to the new rollup_corpus_stats and
     # cdc_dedup_index operators)

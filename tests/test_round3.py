@@ -418,3 +418,90 @@ def test_concurrent_commit_cas(spark, tmp_path):
     eng.replay(_widen_stream(spark, 40, 80, 1, T.IntegerType()),
                batch_size=40)
     assert a.read().count() == 20
+
+
+# ---------------------------------------------------------------------
+# Round-3 session-2 operators: incremental pack maintenance, BPE pair
+# stats, KL mixture diagnostics
+# ---------------------------------------------------------------------
+
+def test_cdc_pack_maintain_canonical_and_incremental(spark, sf_dir):
+    """The incremental pack index must (a) equal the canonical formula
+    recomputed from its own rows (shard-local contiguous offsets in
+    doc_id order), (b) retain clean shards (the patch touches only docs
+    d0..d24 -> shards 0..24, so shards >= 25 must survive via the
+    anti-join path), and (c) keep every pack_off inside the budget."""
+    from opendataloader_pdf_spark.queries import QUERIES
+
+    pdf = QUERIES["cdc_pack_maintain"].fn(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    assert (pdf["pack_off"] < 64).all() and (pdf["pack_off"] >= 0).all()
+    # recompute the canonical assignment per shard
+    for shard, g in pdf.groupby("shard"):
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        start = g["n_tok"].cumsum().shift(fill_value=0)
+        assert (g["pack_id"] == start // 64).all(), f"shard {shard}"
+        assert (g["pack_off"] == start % 64).all(), f"shard {shard}"
+    # clean shards survived untouched (incremental path exercised).
+    # Vacuous at scale factors whose live corpus is entirely inside the
+    # patched doc range d0..d24 (sf0.001 keeps ~12 live docs, all <d15);
+    # the sf0.01 oracle run covers the non-degenerate case.
+    docnum = pdf["doc_id"].str[1:].astype(int)
+    if (docnum >= 25).any():
+        assert (pdf["shard"] >= 25).any(), "expected rows in clean shards"
+
+
+def test_bpe_pair_counts_matches_python(spark, sf_dir):
+    """Top merge candidate must agree with a plain-Python recount."""
+    from collections import Counter
+
+    from opendataloader_pdf_spark.queries import QUERIES
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    got = QUERIES["bpe_pair_counts"].fn(spark, sf_dir).toPandas()
+    assert list(got["merge_rank"]) == list(range(1, len(got) + 1))
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    cnt = Counter()
+    for t in texts:
+        toks = t.split()
+        cnt.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    expect = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[: len(got)]
+    assert list(got["pair"]) == [p for p, _ in expect]
+    assert list(got["pair_count"]) == [c for _, c in expect]
+
+
+def test_token_kl_mixture_nonnegative_and_exact(spark, sf_dir):
+    """KL >= 0 per source and matches a numpy recompute to 1e-6."""
+    import numpy as np
+    import pandas as pd
+
+    from opendataloader_pdf_spark.queries import QUERIES
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    got = (
+        QUERIES["token_kl_mixture"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    assert (got["kl_nats"] >= 0).all()
+    docs = load_table(spark, sf_dir, "documents").select("source", "text").toPandas()
+    rows = []
+    for _, r in docs.iterrows():
+        for tkn in r["text"].split():
+            rows.append((r["source"], tkn))
+    df = pd.DataFrame(rows, columns=["source", "token"])
+    sc = df.groupby(["source", "token"]).size().rename("c").reset_index()
+    gtot = sc["c"].sum()
+    cc = sc.groupby("token")["c"].sum()
+    for _, r in got.iterrows():
+        g = sc[sc["source"] == r["source"]]
+        tot = g["c"].sum()
+        p = g["c"].to_numpy() / tot
+        q = cc[g["token"]].to_numpy() / gtot
+        kl = float(np.sum(p * np.log(p / q)))
+        assert tot == r["n_tokens"] and len(g) == r["vocab_used"]
+        assert abs(kl - r["kl_nats"]) < 2e-6, r["source"]
