@@ -37,6 +37,11 @@ from opendataloader_pdf_spark.cdc.wap import (  # noqa: F401
     publish,
     staged_commits,
 )
+from opendataloader_pdf_spark.cdc.txn import (  # noqa: F401
+    abort_all,
+    commit_all,
+    recover,
+)
 from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
     apply_changes,
     changed_buckets,
