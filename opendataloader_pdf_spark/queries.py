@@ -3510,6 +3510,120 @@ def cdc_wap_publish(spark, sf_dir):
 
 
 @register(
+    "cdc_txn_publish",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 350)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 107)::INT, (user_id % 73)::INT,
+              length(event_type)::INT] AS tokens,
+             event_type AS source
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens, arg_max(source, lsn) AS source
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, source, lsn, len(tokens)::INT AS n_out,
+           CAST({_FP_SQL} AS VARCHAR) AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Multi-table transaction through the REAL machinery (cdc/txn.py): "
+        "stage the data-table replay AND its derived fingerprint index, "
+        "ASSERT both are invisible to HEAD readers, then CRASH between "
+        "the journal write and the second publish (the worst moment) and "
+        "let recover() roll the transaction forward. The returned frame "
+        "JOINS the table against the index, emitting the INDEX's stored "
+        "fingerprint next to the table's row — the oracle recomputes the "
+        "fingerprint from the declarative LWW tokens, so the gate passes "
+        "only if the recovered pair is snapshot-consistent: a stale or "
+        "missing index row after the roll-forward hash-mismatches. "
+        "Covers the consistency contract derived tables need at 10^10 "
+        "events, where 'rebuild the index if it looks stale' is not a "
+        "recovery strategy.",
+)
+def cdc_txn_publish(spark, sf_dir):
+    import json as _json
+    import os as _os
+
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        begin_staged,
+        recover,
+    )
+    from opendataloader_pdf_spark.cdc.storage import _atomic_write
+    from opendataloader_pdf_spark.cdc.txn import _staged_name, _txn_path
+    from opendataloader_pdf_spark.cdc.wap import publish as _publish
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 350).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 107).cast("int"),
+            (F.col("user_id") % 73).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    thr = int(ch.agg(F.max("lsn")).collect()[0][0]) // 2 + 1
+
+    root = _engine_workdir("txn_catalog", sf_dir)
+    data = ParquetMergeSink(spark, _os.path.join(root, "data"), n_buckets=16)
+    idx = ParquetMergeSink(spark, _os.path.join(root, "idx"), n_buckets=16)
+    for s in (data, idx):
+        s.drop()
+        ReplayEngine(spark, s).bootstrap(None)
+
+    sdata = begin_staged(data)
+    ReplayEngine(spark, sdata).replay(ch, batch_size=thr)
+    sidx = begin_staged(idx)
+    sidx.merge(
+        sdata.read().select(
+            "doc_id", "tokens", "n_tok",
+            TK.token_fingerprint(F.col("tokens")).cast("string")
+            .alias("source"),
+            "lsn",
+        ).withColumn("op", F.lit("update")),
+        batch_id=0,
+    )
+
+    # isolation audit: both HEADs must still be empty
+    if data.read().count() != 0 or idx.read().count() != 0:
+        raise AssertionError("txn isolation broken: staged rows visible")
+
+    # crash injection at the worst moment: journal written (commit
+    # point passed), first participant published, process dies
+    journal = {"participants": [
+        {"meta_dir": _os.path.abspath(s.meta_dir), "staged": _staged_name(s)}
+        for s in (data, idx)
+    ]}
+    _atomic_write(_txn_path(data), _json.dumps(journal))
+    _publish(data)
+
+    res = recover([data, idx])  # roll-forward finishes the txn
+    if res["state"] != "committed":
+        raise AssertionError(f"recover did not roll forward: {res}")
+
+    return data.read().join(
+        idx.read().select("doc_id", F.col("source").alias("fp")), "doc_id"
+    ).select(
+        "doc_id", "source", "lsn",
+        F.size("tokens").alias("n_out"), "fp",
+    )
+
+
+@register(
     "s4_streaming_tail",
     f"""
     WITH ch AS (
@@ -4605,12 +4719,12 @@ _GATE_PRIORITY = [
     # feature_hash_embed and stratified_sample_exact operators)
     "exact_substring_dup", "dsir_importance",
     # -- round-3 session-2 additions (never driver-checked; cosine_topk /
-    #    token_splice / decontaminate — strict-green in CORRECTNESS_r02 —
-    #    yield their slots) --
+    #    token_splice / decontaminate / embedding_near_dup — strict-green
+    #    in CORRECTNESS_r02 — yield their slots) --
     "cdc_pack_maintain", "bpe_pair_counts", "token_kl_mixture",
+    "cdc_txn_publish",
     "p1_corpus_pipeline",
     "dedup_components", "ngram_jaccard_pairs", "minhash_lsh_dedup",
-    "embedding_near_dup",
     # (mixture_sample / split_assign — strict-green in CORRECTNESS_r02 —
     # yield their slots to the new rollup_corpus_stats and
     # cdc_dedup_index operators)
