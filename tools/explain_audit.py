@@ -68,6 +68,17 @@ AUDITED = [
     "pii_scrub",
     "length_percentile_filter",
     "repetition_quality",
+    "lm_perplexity_filter",
+    "bm25_retrieval",
+    "feature_hash_embed",
+    "stratified_sample_exact",
+    "bpe_pair_counts",
+    "token_kl_mixture",
+    "t2_pack_greedy",
+    "a11_cluster_1d",
+    "k1_json_lines",
+    "multimodal_frame_sample",
+    "lsh_topk",
 ]
 
 
