@@ -3713,6 +3713,145 @@ def s4_streaming_tail(spark, sf_dir):
 
 
 @register(
+    "w2_watermark_late_data",
+    """
+    WITH a AS (
+      SELECT 'd' || (user_id % 200)::VARCHAR AS doc_id,
+             event_id::BIGINT AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             ((user_id + event_id) % 17 + 1)::BIGINT AS n_tok,
+             (event_id % 600)::BIGINT AS off
+      FROM events
+      UNION ALL SELECT 'sa', 1000000000000, 'update', 1, 599
+    ), b AS (
+      SELECT 'd' || (user_id % 200)::VARCHAR AS doc_id,
+             (event_id + 2000000000)::BIGINT AS lsn,
+             'update' AS op,
+             ((user_id * 3 + event_id) % 17 + 1)::BIGINT AS n_tok,
+             (CASE WHEN event_id % 3 = 0 THEN event_id % 100
+                   WHEN event_id % 3 = 1 THEN 570 + event_id % 25
+                   ELSE 600 + event_id % 50 END)::BIGINT AS off
+      FROM events WHERE user_id % 11 = 0
+      UNION ALL SELECT 'sb', 9000000000, 'update', 1, 649
+    ), admitted AS (
+      SELECT * FROM a
+      UNION ALL
+      SELECT * FROM b WHERE off >= 560
+    ), agg AS (
+      SELECT (1767225600 + (off // 10) * 10)::BIGINT AS win_start, op,
+             count(*) AS n_events,
+             CAST(sum(n_tok) AS BIGINT) AS tok_volume,
+             max(lsn) AS max_lsn
+      FROM admitted GROUP BY 1, 2
+    )
+    SELECT win_start, (win_start + 10)::BIGINT AS win_end, op,
+           n_events, tok_volume, max_lsn
+    FROM agg WHERE win_start <= 1767225600 + 600
+    """,
+    doc="Watermark FINALITY through the REAL Structured Streaming path "
+        "(streaming/windows.py, SURVEY.md 2.9) - was pytest-only. Two "
+        "checkpointed AvailableNow runs over a file-tailed event log: run "
+        "1 ingests the base tranche (event-time offsets 0-599s, max "
+        "pinned by a sentinel) and finalizes windows up to the watermark "
+        "(max ts - 30s = 569); run 2 appends a tranche holding (a) rows "
+        "3+ windows too late - MUST be dropped by the restored watermark, "
+        "(b) stragglers into still-open windows - MUST be absorbed, (c) "
+        "fresh rows advancing event time. The oracle computes the "
+        "windowed aggregate over exactly the admitted set with the "
+        "emission horizon applied - equal iff Spark's drop/absorb/emit "
+        "boundaries all land where the watermark contract says, across a "
+        "checkpoint restore. Scale shape: append-mode windowed agg holds "
+        "only open-window state (bounded by delay/window, independent of "
+        "log size), each window row is emitted exactly once as an "
+        "immutable fact - the 1000-executor ingest-monitoring pattern.",
+)
+def w2_watermark_late_data(spark, sf_dir):
+    import os
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from opendataloader_pdf_spark.streaming.windows import run_windowed_activity
+
+    BASE = 1_767_225_600  # 2026-01-01 00:00:00 UTC, multiple of 10s
+    ev = _t(spark, sf_dir, "events")
+    row_t = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("n_tok", T.LongType()),
+        T.StructField("off", T.LongType()),
+    ])
+    a = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 200).cast("string")).alias("doc_id"),
+        F.col("event_id").cast("long").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        ((F.col("user_id") + F.col("event_id")) % 17 + 1).cast("long").alias("n_tok"),
+        (F.col("event_id") % 600).cast("long").alias("off"),
+    ).unionByName(
+        # sentinel pins max event time (-> run-1 watermark 569) at any sf
+        spark.createDataFrame([("sa", 1_000_000_000_000, "update", 1, 599)], row_t)
+    )
+    eid = F.col("event_id")
+    b = ev.filter(F.col("user_id") % 11 == 0).select(
+        F.concat(F.lit("d"), (F.col("user_id") % 200).cast("string")).alias("doc_id"),
+        (eid + 2_000_000_000).cast("long").alias("lsn"),
+        F.lit("update").alias("op"),
+        ((F.col("user_id") * 3 + eid) % 17 + 1).cast("long").alias("n_tok"),
+        F.when(eid % 3 == 0, eid % 100)             # too late: must drop
+        .when(eid % 3 == 1, F.lit(570) + eid % 25)  # straggler: must absorb
+        .otherwise(F.lit(600) + eid % 50)           # fresh: advances time
+        .cast("long").alias("off"),
+    ).unionByName(
+        # sentinel pins the final watermark at 619 at any sf
+        spark.createDataFrame([("sb", 9_000_000_000, "update", 1, 649)], row_t)
+    )
+
+    def with_ts(df):
+        return df.withColumn(
+            "ts", F.timestamp_seconds(F.lit(BASE) + F.col("off"))
+        ).drop("off")
+
+    root = _engine_workdir("w2_catalog", sf_dir)
+    events_dir = os.path.join(root, "events")
+    out_dir = os.path.join(root, "out")
+    ckpt_dir = os.path.join(root, "ckpt")
+    for d in (events_dir, out_dir, ckpt_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # run 1: base tranche as ONE file -> one data micro-batch (no
+    # intra-tranche watermark movement), finalized by the no-data batch
+    with_ts(a).repartition(1).write.mode("overwrite").parquet(events_dir)
+    schema = spark.read.parquet(events_dir).schema
+    kw = dict(window_size="10 seconds", watermark_delay="30 seconds",
+              max_files_per_trigger=64, event_schema=schema)
+    r1 = run_windowed_activity(spark, events_dir, out_dir, ckpt_dir, **kw)
+    hi1, n1 = r1.agg(
+        F.max(F.unix_timestamp("win_end")), F.count(F.lit(1))
+    ).first()
+    if n1 == 0 or hi1 > BASE + 569:
+        raise AssertionError(f"run-1 emission violates watermark: {n1=} {hi1=}")
+
+    # run 2: late+straggler+fresh tranche appended; checkpoint restores
+    # the watermark, so the late rows must drop and nothing re-emits
+    with_ts(b).repartition(1).write.mode("append").parquet(events_dir)
+    res = run_windowed_activity(spark, events_dir, out_dir, ckpt_dir, **kw)
+    dups = (
+        res.groupBy("win_start", "op").count().filter(F.col("count") > 1).count()
+    )
+    if dups:
+        raise AssertionError(f"{dups} (window, op) rows emitted twice")
+
+    return res.select(
+        F.unix_timestamp("win_start").alias("win_start"),
+        F.unix_timestamp("win_end").alias("win_end"),
+        "op", "n_events", "tok_volume", "max_lsn",
+    )
+
+
+@register(
     "cdc_quarantine",
     f"""
     WITH ch AS (
@@ -4707,7 +4846,8 @@ _GATE_PRIORITY = [
     "f5_bounds_filter", "j1_bbox_containment", "s2_tagged_scan",
     "j6_lineart_assoc",
     # -- new this round --
-    "cdc_wap_publish", "s4_streaming_tail", "f11_source_prune",
+    "cdc_wap_publish", "s4_streaming_tail", "w2_watermark_late_data",
+    "f11_source_prune",
     "lm_perplexity_filter", "bm25_retrieval", "feature_hash_embed",
     "stratified_sample_exact",
     # -- already-proven greens kept inside the window (flagship family,
@@ -4742,7 +4882,12 @@ _GATE_PRIORITY = [
     "simhash_docs", "minhash_dedup_checkable", "minhash_incremental",
     "cdc_quarantine", "cdc_tag_expire_travel",
     "cdc_schema_evolution", "cdc_patch_splice",
-    "lsh_topk", "embedding_near_dup_lsh",
+    "lsh_topk",
+    # (embedding_near_dup_lsh — its family already has a strict r02 row
+    # via embedding_near_dup and its own strict oracle stays judge-
+    # checkable — yields its slot to w2_watermark_late_data, the first
+    # driver row for the §2.9 watermark/late-data family)
+    "embedding_near_dup_lsh",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})

@@ -505,3 +505,43 @@ def test_token_kl_mixture_nonnegative_and_exact(spark, sf_dir):
         kl = float(np.sum(p * np.log(p / q)))
         assert tot == r["n_tokens"] and len(g) == r["vocab_used"]
         assert abs(kl - r["kl_nats"]) < 2e-6, r["source"]
+
+
+def test_w2_watermark_drop_absorb_semantics(spark):
+    """The w2 catalog entry's two-run watermark contract, pinned against
+    Spark-batch expectations computed from the same derivation: late
+    tranche-2 rows (window end <= restored watermark) are DROPPED,
+    stragglers into still-open windows are ABSORBED alongside tranche-1
+    rows, and no (window, op) pair is ever emitted twice."""
+    from opendataloader_pdf_spark.queries import QUERIES
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    BASE = 1_767_225_600
+    got = QUERIES["w2_watermark_late_data"].fn(spark, sf).toPandas()
+
+    # emission horizon: nothing past the final watermark (619 -> last
+    # emittable window starts at 600)
+    assert got["win_start"].max() == BASE + 600
+    assert (got["win_end"] - got["win_start"] == 10).all()
+    assert not got.duplicated(["win_start", "op"]).any()
+
+    ev = load_table(spark, sf, "events")
+    # first window [BASE, BASE+10): tranche-1 'update' rows with off<10
+    # only — every tranche-2 late row targeting it must have been dropped
+    exp_first = (
+        ev.filter((F.col("event_id") % 600 < 10)
+                  & (F.col("event_type") != "purchase")).count()
+    )
+    first = got[(got["win_start"] == BASE) & (got["op"] == "update")]
+    assert int(first["n_events"].iloc[0]) == exp_first
+
+    # straggler window [570, 580): tranche-1 rows PLUS the absorbed
+    # tranche-2 stragglers (user_id%11==0, event_id%3==1, off in range)
+    exp_a = ev.filter((F.col("event_id") % 600).between(570, 579)
+                      & (F.col("event_type") != "purchase")).count()
+    exp_b = ev.filter((F.col("user_id") % 11 == 0)
+                      & (F.col("event_id") % 3 == 1)
+                      & (F.lit(570) + F.col("event_id") % 25 < 580)).count()
+    strag = got[(got["win_start"] == BASE + 570) & (got["op"] == "update")]
+    assert int(strag["n_events"].iloc[0]) == exp_a + exp_b
