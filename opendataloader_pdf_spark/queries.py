@@ -3734,6 +3734,8 @@ def s4_streaming_tail(spark, sf_dir):
                    ELSE 600 + event_id % 50 END)::BIGINT AS off
       FROM events WHERE user_id % 11 = 0
       UNION ALL SELECT 'sb', 9000000000, 'update', 1, 649
+      UNION ALL SELECT 'sc', 9000000001, 'update', 1, 563
+      UNION ALL SELECT 'sd', 9000000002, 'update', 1, 559
     ), admitted AS (
       SELECT * FROM a
       UNION ALL
@@ -3805,8 +3807,17 @@ def w2_watermark_late_data(spark, sf_dir):
         .otherwise(F.lit(600) + eid % 50)           # fresh: advances time
         .cast("long").alias("off"),
     ).unionByName(
-        # sentinel pins the final watermark at 619 at any sf
-        spark.createDataFrame([("sb", 9_000_000_000, "update", 1, 649)], row_t)
+        # sentinels: sb pins the final watermark at 619 at any sf;
+        # sc/sd pin the restored-watermark ADMISSION BOUNDARY itself —
+        # watermark 569 finalizes windows ending <= 569, so off=563
+        # (window [560,570), end 570 > 569) must ABSORB while off=559
+        # (window [550,560), end 560 <= 569) must DROP; an off-by-one
+        # in the eviction predicate on either side flips one of them
+        # and the oracle hash catches it (ADVICE r3)
+        spark.createDataFrame(
+            [("sb", 9_000_000_000, "update", 1, 649),
+             ("sc", 9_000_000_001, "update", 1, 563),
+             ("sd", 9_000_000_002, "update", 1, 559)], row_t)
     )
 
     def with_ts(df):

@@ -507,7 +507,7 @@ def test_token_kl_mixture_nonnegative_and_exact(spark, sf_dir):
         assert abs(kl - r["kl_nats"]) < 2e-6, r["source"]
 
 
-def test_w2_watermark_drop_absorb_semantics(spark):
+def test_w2_watermark_drop_absorb_semantics(spark, sf_dir):
     """The w2 catalog entry's two-run watermark contract, pinned against
     Spark-batch expectations computed from the same derivation: late
     tranche-2 rows (window end <= restored watermark) are DROPPED,
@@ -516,7 +516,7 @@ def test_w2_watermark_drop_absorb_semantics(spark):
     from opendataloader_pdf_spark.queries import QUERIES
     from opendataloader_pdf_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     BASE = 1_767_225_600
     got = QUERIES["w2_watermark_late_data"].fn(spark, sf).toPandas()
 
