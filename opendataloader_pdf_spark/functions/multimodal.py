@@ -7,11 +7,15 @@ K6) — generalized to the training-pipeline media path.
 
 PNG payloads are decoded for REAL by a pure-stdlib codec (zlib + struct:
 chunk walk with CRC verification, IDAT inflate, per-scanline unfilter for
-all five PNG filter types) — no image library needed. Non-PNG payloads
-(the container has no audio/video libs) fall back to a deterministic
-fake derived from the payload hash, keeping the identical Spark plumbing
-— schema, Arrow batch shape, mapInPandas signature, per-partition
-batching — exercised either way.
+all five PNG filter types) — no image library needed. WAV/PCM audio is
+likewise decoded for REAL by a pure-stdlib RIFF codec (struct chunk walk
+verifying the RIFF/WAVE magic and container size, fmt-chunk validation
+rejecting non-PCM16 encodings, little-endian int16 frame decode); the
+encoder is the stdlib ``wave`` writer. Only VIDEO payloads (the container
+genuinely has no codec libs) fall back to a deterministic fake derived
+from the payload hash, keeping the identical Spark plumbing — schema,
+Arrow batch shape, mapInPandas signature, per-partition batching —
+exercised either way.
 
 Scale notes: mapInPandas streams Arrow record batches — payloads never
 materialize as Python row objects; batch size bounded by
@@ -152,6 +156,133 @@ def decode_png(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
         raise ValueError("PNG has no IHDR chunk")
     pixels = _unfilter(zlib.decompress(bytes(idat)), w, h, channels)
     return w, h, channels, bit_depth, pixels
+
+def encode_wav_pcm16(samples: np.ndarray, rate: int, channels: int = 1) -> bytes:
+    """Encode interleaved int16 samples as a standards-compliant PCM WAV
+    (RIFF/WAVE, fmt + data chunks) via the stdlib ``wave`` writer —
+    playable by any audio tool."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
+    """Decode a PCM16 WAV with struct only — a real RIFF codec, not a
+    library call: verifies the RIFF/WAVE magic and container size field,
+    walks word-aligned chunks, validates the fmt chunk (rejecting
+    compressed / non-16-bit encodings), and decodes the data chunk as
+    little-endian int16 frames.
+
+    Returns (n_channels, sample_rate, n_frames, flat int16 samples)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size != len(data) - 8:
+        raise ValueError(
+            f"RIFF size field {riff_size} != payload size {len(data) - 8}"
+        )
+    pos = 12
+    fmt: tuple[int, int] | None = None
+    frames: np.ndarray | None = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + ln]
+        if tag == b"fmt ":
+            audio_fmt, ch, rate, _brate, _balign, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV (format={audio_fmt}, bits={bits})"
+                )
+            fmt = (ch, rate)
+        elif tag == b"data":
+            frames = np.frombuffer(body, dtype="<i2")
+        pos += 8 + ln + (ln & 1)  # RIFF chunks are word-aligned
+    if fmt is None or frames is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    ch, rate = fmt
+    if len(frames) % ch:
+        raise ValueError("data chunk not a whole number of frames")
+    return ch, rate, len(frames) // ch, frames
+
+
+WAV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_channels", T.IntegerType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("n_frames", T.IntegerType(), True),
+        T.StructField("amp_sum", T.LongType(), True),
+        T.StructField("amp_max", T.IntegerType(), True),
+    ]
+)
+
+
+def decode_wav_stats(media: DataFrame) -> DataFrame:
+    """Real WAV decode → scalar sample statistics (strict-oracle shape:
+    amp_sum/amp_max are wrong unless the RIFF walk, fmt validation, and
+    int16 little-endian frame decode are all correct)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": pdf["media_id"].values,
+                   "n_channels": [], "sample_rate": [], "n_frames": [],
+                   "amp_sum": [], "amp_max": []}
+            for p in pdf["payload"]:
+                ch, rate, nf, samples = decode_wav(bytes(p))
+                out["n_channels"].append(ch)
+                out["sample_rate"].append(rate)
+                out["n_frames"].append(nf)
+                out["amp_sum"].append(int(samples.astype(np.int64).sum()))
+                out["amp_max"].append(int(samples.max()))
+            yield pd.DataFrame(out).astype(
+                {"n_channels": np.int32, "sample_rate": np.int32,
+                 "n_frames": np.int32, "amp_sum": np.int64,
+                 "amp_max": np.int32}
+            )
+
+    return media.mapInPandas(run, schema=WAV_STATS_SCHEMA)
+
+
+def documents_as_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL PCM16 WAV payloads from the documents fixture:
+    per doc a mono-or-stereo tone of 50 + doc_id % 211 frames at
+    8000 + (doc_id % 5)·1000 Hz with flat sample j =
+    (doc_id·31 + j·17) % 65536 − 32768 — closed-form so a SQL oracle can
+    predict the decoded statistics exactly while the decode itself does
+    full RIFF-walk / fmt-validation / int16-frame work."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"].astype(np.int64):
+                did = int(did)
+                n = 50 + did % 211
+                rate = 8000 + (did % 5) * 1000
+                ch = 1 + did % 2
+                j = np.arange(n * ch, dtype=np.int64)
+                samples = ((did * 31 + j * 17) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav_pcm16(samples, rate, ch))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(np.int64).values,
+                 "kind": "audio", "payload": payloads, "meta": None}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema=MEDIA_SCHEMA
+    )
+
 
 MEDIA_SCHEMA = T.StructType(
     [

@@ -814,3 +814,124 @@ def ivf_refine(
         newC[nz] = _unit_rows(sums[nz] / cnt[nz, None])
         C = np.ascontiguousarray(newC)
     return C
+
+
+def walsh_codebook(dim: int, n_cells: int) -> list[list[float]]:
+    """Deterministic equal-norm IVF codebook for the checkable twin:
+    cell j is the Walsh/Hadamard row with component i =
+    (-1)^popcount(i & (j+1)) — pairwise-orthogonal ±1 vectors, all with
+    norm sqrt(dim). Equal norms make argmax(dot) == argmax(cosine), so
+    cell assignment needs no normalization, and the ±1 literals keep
+    every multiply exact in IEEE doubles (only the fold order matters,
+    which the DuckDB oracle replays operation-for-operation)."""
+    return [
+        [float(1 if bin(i & (j + 1)).count("1") % 2 == 0 else -1)
+         for i in range(dim)]
+        for j in range(n_cells)
+    ]
+
+
+def ivf_topk_jvm(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, codebook: list[list[float]], k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF top-k with the SAME pipeline shape as ``ivf_topk`` (nearest-
+    cell assignment → nprobe cell probe per query → candidates via cell
+    equi-join with the broadcast query side → exact cosine rank) but
+    with the coarse codebook FIXED as equal-norm literal rows and every
+    float reduction a JVM ordered left-fold (zip_with + aggregate) —
+    bit-reproducible by a declarative DuckDB twin, which is what makes
+    the IVF family strict-oracle checkable (the numpy/matmul ``ivf_topk``
+    stays the performance path; this twin value-checks the algorithm:
+    assignment argmax + lowest-cell ties, probe ranking, candidate
+    restriction, and final rank order)."""
+    cells = [F.array(*[F.lit(x) for x in c]) for c in codebook]
+
+    def dot(v: Column, p: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y),
+            F.lit(0.0), lambda acc, t: acc + t,
+        )
+
+    def cell_sims(v: Column) -> Column:
+        return F.array(*[dot(v, c) for c in cells])
+
+    # corpus: nearest cell = first index of the max dot (lowest cell id
+    # on ties — array_position returns the FIRST 1-based match)
+    ca = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cvec"),
+        cell_sims(F.col(vec_col)).alias("_sims"),
+    ).select(
+        "neighbor_id", "_cvec",
+        (F.array_position("_sims", F.array_max("_sims")) - 1)
+        .cast("int").alias("cell"),
+    )
+    # queries: nprobe nearest cells (dot desc, cell asc on ties)
+    qs = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).alias("_qvec"),
+        F.posexplode(cell_sims(F.col(vec_col))).alias("cell", "_sim"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("_sim"), F.asc("cell"))
+    qa = (
+        qs.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("query_id", "_qvec", F.col("cell").cast("int").alias("cell"))
+    )
+    scored = ca.join(F.broadcast(qa), "cell").withColumn(
+        "cosine", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def lsh_topk_banded(
+    corpus: DataFrame, queries: DataFrame, id_col: str, vec_col: str,
+    query_id_col: str, dim: int, k: int = 10, planes_per_band: int = 3,
+    bands: int = 8, seed: int = 42,
+) -> DataFrame:
+    """High-recall approximate top-k via banded hyperplane LSH — the
+    OR-construction counterpart of the single-signature ``lsh_topk``:
+    ``bands`` independent short signatures of ``planes_per_band`` planes
+    each; a corpus row becomes a candidate for a query if ANY band's
+    signature matches (equi-join on (band, sig), dedupe on the pair
+    key), then exact cosine ranks the survivors. Recall for a neighbor
+    at angle θ is 1 − (1 − p^r)^b with p = 1 − θ/π — tunable toward 1
+    without ever going all-pairs. Candidate volume stays bucket-bounded,
+    so the shape survives 100 TB the same way cosine_pairs_lsh does."""
+    def banded(df: DataFrame, idc: str, out: str, vout: str) -> DataFrame:
+        sigs = [
+            lsh_signature(F.col(vec_col), dim, planes_per_band,
+                          seed + 1000 * bi)
+            for bi in range(bands)
+        ]
+        return df.select(
+            F.col(idc).alias(out), F.col(vec_col).alias(vout),
+            F.explode(F.array(*[
+                F.struct(F.lit(bi).alias("band"), s.alias("sig"))
+                for bi, s in enumerate(sigs)
+            ])).alias("_b"),
+        ).select(out, vout, "_b.band", "_b.sig")
+
+    c = banded(corpus, id_col, "neighbor_id", "_cvec")
+    q = banded(queries, query_id_col, "query_id", "_qvec")
+    cands = (
+        c.join(F.broadcast(q), ["band", "sig"])
+        .select("query_id", "neighbor_id", "_cvec", "_qvec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cands.withColumn(
+        "cosine", F.round(cosine_sim(F.col("_cvec"), F.col("_qvec")), 6)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )

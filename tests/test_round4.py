@@ -1,0 +1,160 @@
+"""Round-4 additions: checkable IVF twin, banded LSH top-k, and the
+ANN recall-quality entry (the engine's analog of the reference's
+published quality-vs-ground-truth tables, content/docs/benchmark/
+nid.mdx). Complements the strict DuckDB oracles with invariants the
+value-hash can't see: numpy-vs-JVM assignment agreement, recall
+dominance of the OR-construction, and plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import opendataloader_pdf_spark.functions.similarity as S
+
+
+def _emb(spark, sf_dir):
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def test_walsh_codebook_equal_norm_orthogonal():
+    M = np.array(S.walsh_codebook(64, 8))
+    assert M.shape == (8, 64)
+    assert set(np.unique(M)) == {-1.0, 1.0}
+    G = M @ M.T
+    assert np.allclose(np.diag(G), 64.0)  # equal norms: argmax dot == argmax cos
+    assert np.allclose(G - np.diag(np.diag(G)), 0.0)  # pairwise orthogonal
+
+
+def test_ivf_jvm_assignment_matches_numpy_argmax(spark, sf_dir):
+    """The JVM ordered-fold cell assignment in ivf_topk_jvm lands every
+    corpus vector in the same cell numpy argmax picks (lowest cell on
+    ties) — the twin checks the same algorithm, not a different one."""
+    emb = _emb(spark, sf_dir)
+    cb = S.walsh_codebook(64, 8)
+    q = emb.filter(F.col("vec_id") < 20)
+    out = S.ivf_topk_jvm(emb, q, "vec_id", "embedding", "vec_id", cb,
+                         k=5, nprobe=8)  # nprobe=all cells → exact
+    exact = S.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", k=5)
+    e = {(r.query_id, r.neighbor_id, r.cosine) for r in exact.collect()}
+    a = {(r.query_id, r.neighbor_id, r.cosine) for r in out.collect()}
+    assert a == e  # probing every cell degrades IVF to exact search
+
+    # spot-check assignment itself against numpy
+    C = np.array(cb)
+    pdf = emb.limit(50).toPandas()
+    V = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    want = np.argmax(V @ C.T, axis=1)
+    cells = [F.array(*[F.lit(x) for x in c]) for c in cb]
+    sims = F.array(*[
+        F.aggregate(F.zip_with("embedding", c, lambda x, y: x * y),
+                    F.lit(0.0), lambda acc, t: acc + t)
+        for c in cells
+    ])
+    got = (
+        spark.createDataFrame(pdf)
+        .select((F.array_position(sims, F.array_max(sims)) - 1).alias("cell"))
+        .toPandas()["cell"].to_numpy()
+    )
+    assert (got == want).all()
+
+
+def test_banded_recall_dominates_single_signature(spark, sf_dir):
+    """OR-construction recall ≥ single-signature recall on the same
+    data, and every banded candidate's cosine is the true cosine."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = S.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id", k=5)
+    single = S.lsh_topk(emb, q, "vec_id", "embedding", "vec_id",
+                        dim=64, k=5, n_planes=8)
+    banded = S.lsh_topk_banded(emb, q, "vec_id", "embedding", "vec_id",
+                               dim=64, k=5, planes_per_band=2, bands=6)
+    e = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    s = {(r.query_id, r.neighbor_id) for r in single.collect()}
+    b = {(r.query_id, r.neighbor_id) for r in banded.collect()}
+    assert len(e & b) >= len(e & s)
+    assert len(e & b) / len(e) >= 0.75
+
+    truth = S.brute_force_topk(emb, q, "vec_id", "embedding", "vec_id",
+                               k=10_000)
+    wrong = banded.join(truth, ["query_id", "neighbor_id"]).filter(
+        banded["cosine"] != truth["cosine"]
+    )
+    assert wrong.count() == 0
+
+
+def test_ann_recall_entry_floors_and_shape(spark, sf_dir):
+    from opendataloader_pdf_spark.queries import _ANN_RECALL_FLOORS, QUERIES
+
+    got = QUERIES["ann_recall"].fn(spark, sf_dir).toPandas()
+    assert sorted(got["method"]) == ["ivf_topk", "lsh_banded", "lsh_topk"]
+    assert (got["n_queries"] == 20).all()
+    for _, r in got.iterrows():
+        assert r["mean_recall"] >= _ANN_RECALL_FLOORS[r["method"]]
+        assert 0.0 <= r["min_recall"] <= r["mean_recall"] <= 1.0
+
+
+def test_banded_candidate_join_is_bucketed(spark, sf_dir):
+    """Plan shape: the banded candidate join is an equi-join on
+    (band, sig) with the query side broadcast — no cartesian product
+    anywhere in the candidate generation."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") < 20)
+    banded = S.lsh_topk_banded(emb, q, "vec_id", "embedding", "vec_id",
+                               dim=64, k=5, planes_per_band=2, bands=6)
+    plan = banded._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_wav_codec_roundtrip_and_rejection():
+    """The stdlib WAV codec is a real codec: round-trips frames exactly
+    and rejects corrupted / non-PCM payloads instead of emitting silent
+    garbage (same contract as decode_png)."""
+    import struct
+
+    import pytest
+
+    from opendataloader_pdf_spark.functions import multimodal as M
+
+    samples = ((np.arange(300, dtype=np.int64) * 773) % 65536 - 32768).astype(
+        np.int16
+    )
+    wav = M.encode_wav_pcm16(samples, rate=11000, channels=2)
+    ch, rate, nf, got = M.decode_wav(wav)
+    assert (ch, rate, nf) == (2, 11000, 150)
+    assert (got == samples).all()
+
+    with pytest.raises(ValueError):  # not RIFF
+        M.decode_wav(b"JUNK" + wav[4:])
+    with pytest.raises(ValueError):  # container size field corrupted
+        M.decode_wav(wav[:4] + struct.pack("<I", 5) + wav[8:])
+    # non-PCM format tag in the fmt chunk must be rejected
+    bad = bytearray(wav)
+    fmt_at = wav.index(b"fmt ")
+    bad[fmt_at + 8:fmt_at + 10] = struct.pack("<H", 3)  # IEEE float
+    with pytest.raises(ValueError):
+        M.decode_wav(bytes(bad))
+
+
+def test_wav_media_decode_matches_generator(spark, sf_dir):
+    """documents_as_wav_media → decode_wav_stats recovers the generator's
+    closed form through the full encode→RIFF-walk→decode path."""
+    from opendataloader_pdf_spark.functions import multimodal as M
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    got = M.decode_wav_stats(M.documents_as_wav_media(docs)).toPandas()
+    assert len(got) == 40
+    for _, r in got.iterrows():
+        did = int(r["media_id"])
+        n, ch = 50 + did % 211, 1 + did % 2
+        assert r["n_frames"] == n and r["n_channels"] == ch
+        assert r["sample_rate"] == 8000 + (did % 5) * 1000
+        j = np.arange(n * ch, dtype=np.int64)
+        amp = (did * 31 + j * 17) % 65536 - 32768
+        assert r["amp_sum"] == amp.sum() and r["amp_max"] == amp.max()
