@@ -175,6 +175,14 @@ def main() -> None:
                    help="interleaved level pairs; the headline efficiency "
                         "is the MEDIAN of per-trial ratios (host-load "
                         "drift hits both levels of a trial equally)")
+    p.add_argument("--calib-exclude", type=float, default=None,
+                   help="PRE-REGISTERED steal-exclusion rule (stated "
+                        "before the run, VERDICT r3 task #5): with q = "
+                        "the minimum calib_secs over every leg of this "
+                        "session, a trial is excluded iff either of its "
+                        "legs ran at calib > FACTOR*q (the hypervisor "
+                        "stole that leg). Excluded trials are still "
+                        "published, annotated. Typical: 1.10")
     p.add_argument("--save-level", default=None,
                    help="also save each level's JSON to <prefix>.<cpus>.json")
     p.add_argument("--assemble", nargs="+", default=None,
@@ -229,28 +237,48 @@ def main() -> None:
                                  attempts=a.attempts)
             print(f"   {tr[cpus]}", file=sys.stderr)
         trials.append(tr)
-    # per-level best (for the throughput table) + median-of-ratio headline
+    valid = trials
+    if a.calib_exclude:
+        q = min(tr[c]["calib_secs"] for tr in trials for c in levels)
+        bar = a.calib_exclude * q
+        for tr in trials:
+            tr_max = max(tr[c]["calib_secs"] for c in levels)
+            for c in levels:
+                tr[c]["excluded"] = tr_max > bar
+        valid = [tr for tr in trials
+                 if max(tr[c]["calib_secs"] for c in levels) <= bar]
+        print(f"-- calib rule: q={q:.3f}s bar={bar:.3f}s "
+              f"({len(valid)}/{len(trials)} trials survive)", file=sys.stderr)
+        if not valid:
+            raise SystemExit("every trial excluded by the calib rule — "
+                             "host too noisy; rerun the session")
+    # per-level best among VALID trials (throughput table) + median headline
     results = {
-        c: max((tr[c] for tr in trials), key=lambda r: r["events_per_sec"])
+        c: max((tr[c] for tr in valid), key=lambda r: r["events_per_sec"])
         for c in levels
     }
     if a.save_level:
         for c in levels:
             with open(f"{a.save_level}.{c}.json", "w") as f:
                 json.dump(results[c], f)
-    write_report(results, levels, a, trials)
+    write_report(results, levels, a, trials, valid)
 
 
 def write_report(results: dict[int, dict], levels: list[int], a,
-                 trials: list[dict[int, dict]] | None = None) -> None:
+                 trials: list[dict[int, dict]] | None = None,
+                 valid: list[dict[int, dict]] | None = None) -> None:
     lo, hi = min(levels), max(levels)
     ratio = hi / lo
+    valid = valid if valid is not None else trials
     if trials:
-        per_trial = sorted(
-            (tr[hi]["events_per_sec"] / tr[lo]["events_per_sec"]) / ratio
-            for tr in trials
-        )
-        eff = per_trial[len(per_trial) // 2]
+        def _eff(tr):
+            return (tr[hi]["events_per_sec"] / tr[lo]["events_per_sec"]) / ratio
+        per_trial = sorted(_eff(tr) for tr in valid)
+        all_trial = [round(_eff(tr), 3) for tr in trials]
+        excluded_trials = [round(_eff(tr), 3) for tr in trials
+                           if tr not in valid]
+        eff = (per_trial[len(per_trial) // 2] if len(per_trial) % 2
+               else sum(per_trial[len(per_trial)//2 - 1:len(per_trial)//2 + 1]) / 2)
         speedup = eff * ratio
     else:
         per_trial = None
@@ -263,6 +291,12 @@ def write_report(results: dict[int, dict], levels: list[int], a,
         "core_ratio": ratio,
         "efficiency": round(eff, 3),
         "per_trial_efficiency": [round(x, 3) for x in per_trial] if per_trial else None,
+        "all_trial_efficiency_incl_excluded": all_trial if trials else None,
+        "excluded_by_calib_rule": excluded_trials if trials else None,
+        "calib_exclude_factor": getattr(a, "calib_exclude", None),
+        "trial_calibs": [
+            {str(c): tr[c]["calib_secs"] for c in levels} for tr in trials
+        ] if trials else None,
         "passes_0.8_bar": eff >= 0.8,
         "events": a.events,
         "docs": a.docs,
@@ -347,6 +381,17 @@ def write_report(results: dict[int, dict], levels: list[int], a,
          f"median): {', '.join(f'{x:.3f}' for x in per_trial)}. This VM "
          "shares a host — single-trial ratios swing ±15%, which the "
          "interleaving + median damps.") if per_trial else "",
+        "",
+        ((f"Steal-exclusion rule (PRE-REGISTERED before the run): each "
+          f"leg is tagged with a single-thread md5 calibration probe; "
+          f"with q = the session's minimum leg calib, a trial is "
+          f"excluded iff either leg's calib > "
+          f"{a.calib_exclude:.2f} × q. Excluded trials (published, not "
+          f"counted): "
+          f"{', '.join(f'{x:.3f}' for x in excluded_trials) or 'none'}. "
+          f"All trials incl. excluded: "
+          f"{', '.join(f'{x:.3f}' for x in all_trial)}.")
+         if getattr(a, "calib_exclude", None) and trials else ""),
         "",
         "Run on a real cluster with:",
         "```bash",
