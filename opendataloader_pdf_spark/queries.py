@@ -5518,6 +5518,111 @@ def cdc_snapshot_handoff(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_offset_tail",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 390)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 139)::INT, (user_id % 61)::INT,
+              length(event_type)::INT] AS tokens
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Sharded-stream tail with per-partition offset checkpointing "
+        "(cdc/offsets.py — the Kafka/binlog-shard consumer shape): the "
+        "stream is split into 8 partitions each with its own contiguous "
+        "offset sequence; every round slices the next per_round offsets "
+        "from each partition (a pure function of the committed offset "
+        "map), interleaves a synthetic delivery_seq into the engine's "
+        "next batch slot, replays, then commits the advanced map. A "
+        "crash is INJECTED in the merge→offset window (table one batch "
+        "ahead of the offsets); the resumed tail re-derives the same "
+        "slice, the engine no-ops the committed slot, and the offset "
+        "write heals — runtime-asserted (rounds committed == manifest "
+        "batches, final offsets == per-partition totals). The oracle is "
+        "plain LWW over the whole sharded stream: equal iff "
+        "resume-from-offsets is exactly-once through the crash.",
+)
+def cdc_offset_tail(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink
+    from opendataloader_pdf_spark.cdc.offsets import (
+        OffsetCommitCrash,
+        PartitionOffsetTail,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    P = 8
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 390).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 139).cast("int"),
+            (F.col("user_id") % 61).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.lit(0).cast("long").alias("delivery_seq"),  # tail synthesizes
+        (F.col("event_id") % P).cast("int").alias("partition"),
+        F.expr(f"event_id div {P}").alias("offset"),
+    )
+    max_off = int(ch.agg(F.max("offset")).collect()[0][0])
+    per_round = max_off // 3 + 1  # ~3-4 rounds
+
+    root = _engine_workdir("offset_tail_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    tail = PartitionOffsetTail(spark, sink, n_partitions=P,
+                               per_round=per_round)
+    crashed = False
+    try:
+        tail.advance(ch, crash_after_merge=2)
+    except OffsetCommitCrash:
+        crashed = True
+    if not crashed:
+        raise AssertionError("crash injection did not fire")
+    if sink.last_batch_id() != tail.store.committed_rounds():
+        raise AssertionError(
+            f"crash window not open: table at batch "
+            f"{sink.last_batch_id()}, offsets at "
+            f"{tail.store.committed_rounds() - 1}"
+        )
+    # fresh consumer resumes from the committed offsets and heals
+    tail2 = PartitionOffsetTail(spark, sink, n_partitions=P,
+                                per_round=per_round)
+    final_offs = tail2.advance(ch)
+    totals = {
+        int(r["partition"]): int(r["n"])
+        for r in ch.groupBy("partition")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    if final_offs != totals:
+        raise AssertionError(f"offsets {final_offs} != totals {totals}")
+    if tail2.store.committed_rounds() != sink.last_batch_id() + 1:
+        raise AssertionError("offset rounds and manifest batches diverged "
+                             "after heal")
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5533,7 +5638,7 @@ def cdc_snapshot_handoff(spark, sf_dir):
 _GATE_PRIORITY = [
     # -- new or changed this round --
     "cdc_envelope_parse", "cdc_envelope_replay", "cdc_lsn_gap_audit",
-    "cdc_snapshot_handoff",
+    "cdc_snapshot_handoff", "cdc_offset_tail",
     "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
     "w2_watermark_late_data",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
@@ -5549,15 +5654,16 @@ _GATE_PRIORITY = [
     "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
     "j2_proximity_score", "j3_rank_k_repeats", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render", "k3_html_render",
-    "k4_text_lines", "o1_multikey_rank", "o2_xy_cut_order",
+    "k4_text_lines", "o2_xy_cut_order",
     "cdc_lineage_metrics", "w1_windowed_activity",
-    # Displaced past the ~50-row window to make room for the four new
-    # wire-format/audit entries above: the former r03-green buffer
-    # (lsh_topk, cdc_txn_publish, cdc_wap_publish — already driver-
-    # certified on round-3+ code) and set_union_by_name (r02 green,
-    # trivial unionByName semantics, untouched since round 2; rotates
-    # back in round 5).
-    "set_union_by_name", "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
+    # Displaced past the ~50-row window to make room for the five new
+    # wire-format/audit/offset entries above: the former r03-green
+    # buffer (lsh_topk, cdc_txn_publish, cdc_wap_publish — already
+    # driver-certified on round-3+ code) plus set_union_by_name and
+    # o1_multikey_rank (r02 greens with trivial, untouched semantics;
+    # they rotate back first in round 5).
+    "set_union_by_name", "o1_multikey_rank",
+    "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
