@@ -11,11 +11,17 @@ all five PNG filter types) — no image library needed. WAV/PCM audio is
 likewise decoded for REAL by a pure-stdlib RIFF codec (struct chunk walk
 verifying the RIFF/WAVE magic and container size, fmt-chunk validation
 rejecting non-PCM16 encodings, little-endian int16 frame decode); the
-encoder is the stdlib ``wave`` writer. Only VIDEO payloads (the container
-genuinely has no codec libs) fall back to a deterministic fake derived
-from the payload hash, keeping the identical Spark plumbing — schema,
-Arrow batch shape, mapInPandas signature, per-partition batching —
-exercised either way.
+encoder is the stdlib ``wave`` writer. VIDEO is REAL for uncompressed
+RIFF/AVI (the standard BI_RGB interchange format): ``encode_avi_rgb24``
+emits a standards-compliant AVI — hdrl LIST with avih/strh/strf
+(BITMAPINFOHEADER), movi LIST of '00db' DIB frames, idx1 index — and
+``decode_avi`` walks it back with struct only, validating the container
+size, stream type, biCompression=0/biBitCount=24, and decoding each
+bottom-up 4-byte-row-padded BGR frame. Compressed codecs (H.264 etc.)
+genuinely need codec libs the container lacks; those payloads fall back
+to the deterministic hash-derived fake, keeping the identical Spark
+plumbing — schema, Arrow batch shape, mapInPandas signature,
+per-partition batching — exercised either way.
 
 Scale notes: mapInPandas streams Arrow record batches — payloads never
 materialize as Python row objects; batch size bounded by
@@ -284,6 +290,217 @@ def documents_as_wav_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame
     )
 
 
+def encode_avi_rgb24(frames: np.ndarray, rate: int, scale: int = 1) -> bytes:
+    """Encode (n, h, w, 3) uint8 RGB frames as a standards-compliant
+    uncompressed AVI (RIFF 'AVI ': hdrl LIST with avih/strh/strf, movi
+    LIST of '00db' DIB frames, idx1 index) — playable by any video tool.
+    DIB frames are stored per spec: BGR byte order, bottom-up rows,
+    each row padded to a 4-byte boundary. fps = rate / scale."""
+    import struct
+
+    n, h, w, _ = frames.shape
+    stride = (w * 3 + 3) & ~3
+    frame_bytes = stride * h
+
+    def dib(frame: np.ndarray) -> bytes:
+        # RGB → BGR, bottom-up, zero-padded rows
+        bgr = frame[::-1, :, ::-1]
+        row = np.zeros((h, stride), dtype=np.uint8)
+        row[:, : w * 3] = bgr.reshape(h, w * 3)
+        return row.tobytes()
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 * scale // rate,  # dwMicroSecPerFrame
+        frame_bytes * rate // scale,  # dwMaxBytesPerSec
+        0, 0x10,  # padding granularity, AVIF_HASINDEX
+        n, 0, 1, frame_bytes,  # frames, initial, streams, bufsize
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        scale, rate, 0, n, frame_bytes, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00db", dib(f)) for f in frames)
+    movi = lst(b"movi", movi_payload)
+    # idx1 offsets are relative to the start of the 'movi' kind tag
+    idx = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10,
+                    4 + i * (8 + frame_bytes), frame_bytes)
+        for i in range(n)
+    )
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
+    """Decode an uncompressed RIFF/AVI with struct only — a real
+    container codec, not a library call: verifies the RIFF/'AVI ' magic
+    and container size field, walks the hdrl LIST (avih dimensions, strh
+    'vids' stream with rate/scale, strf BITMAPINFOHEADER rejecting
+    compressed / non-24-bit encodings), then decodes every '00db' movi
+    frame from bottom-up 4-byte-padded BGR DIB rows back to RGB.
+
+    Returns (width, height, rate, scale, frames (n, h, w, 3) uint8)."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    (riff_size,) = struct.unpack("<I", data[4:8])
+    if riff_size != len(data) - 8:
+        raise ValueError(
+            f"RIFF size field {riff_size} != payload size {len(data) - 8}"
+        )
+
+    def walk(buf: bytes):
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos:pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            body = buf[pos + 8:pos + 8 + ln]
+            if tag == b"LIST":
+                yield body[:4], body[4:]
+            else:
+                yield tag, body
+            pos += 8 + ln + (ln & 1)
+
+    w = h = n_frames = None
+    rate = scale = None
+    raw_frames: list[bytes] = []
+    for tag, body in walk(data[12:]):
+        if tag == b"hdrl":
+            for t2, b2 in walk(body):
+                if t2 == b"avih":
+                    vals = struct.unpack("<14I", b2[:56])
+                    n_frames, w, h = vals[4], vals[8], vals[9]
+                elif t2 == b"strl":
+                    for t3, b3 in walk(b2):
+                        if t3 == b"strh":
+                            fcc, _hdl = struct.unpack("<4s4s", b3[:8])
+                            if fcc != b"vids":
+                                raise ValueError(
+                                    f"unsupported AVI stream {fcc!r}"
+                                )
+                            scale, rate = struct.unpack("<II", b3[20:28])
+                        elif t3 == b"strf":
+                            (_sz, bw, bh, _pl, bits, comp) = struct.unpack(
+                                "<IiiHHI", b3[:20]
+                            )
+                            if comp != 0 or bits != 24:
+                                raise ValueError(
+                                    f"unsupported AVI (compression={comp}, "
+                                    f"bits={bits}) — codec libs unavailable"
+                                )
+        elif tag == b"movi":
+            for t2, b2 in walk(body):
+                if t2 in (b"00db", b"00dc"):
+                    raw_frames.append(b2)
+    if w is None or rate is None:
+        raise ValueError("AVI missing avih/strh header")
+    if len(raw_frames) != n_frames:
+        raise ValueError(
+            f"movi has {len(raw_frames)} frames, header says {n_frames}"
+        )
+    stride = (w * 3 + 3) & ~3
+    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for i, rf in enumerate(raw_frames):
+        if len(rf) != stride * h:
+            raise ValueError(f"frame {i}: {len(rf)} bytes != {stride * h}")
+        rows = np.frombuffer(rf, dtype=np.uint8).reshape(h, stride)
+        out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+    return w, h, rate, scale, out
+
+
+AVI_FRAME_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("rate", T.IntegerType(), True),
+        T.StructField("frame_sum", T.LongType(), True),
+    ]
+)
+
+
+def decode_avi_frame_stats(media: DataFrame) -> DataFrame:
+    """Real AVI decode → one row per FRAME with scalar pixel statistics
+    (the video analog of frame sampling, row explosion inside
+    mapInPandas; strict-oracle shape: frame_sum is wrong unless the RIFF
+    walk, header validation, and bottom-up padded-BGR DIB decode are all
+    correct)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "width": [],
+                   "height": [], "rate": [], "frame_sum": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rate, _scale, frames = decode_avi(bytes(p))
+                sums = frames.reshape(len(frames), -1).astype(np.int64).sum(axis=1)
+                for i, s in enumerate(sums):
+                    out["media_id"].append(int(mid))
+                    out["frame_idx"].append(i)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["rate"].append(rate)
+                    out["frame_sum"].append(int(s))
+            yield pd.DataFrame(out).astype(
+                {"media_id": np.int64, "frame_idx": np.int32,
+                 "width": np.int32, "height": np.int32,
+                 "rate": np.int32, "frame_sum": np.int64}
+            )
+
+    return media.mapInPandas(run, schema=AVI_FRAME_STATS_SCHEMA)
+
+
+def documents_as_avi_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL uncompressed AVI payloads from the documents
+    fixture: per doc a clip of n = 1 + doc_id % 5 frames sized
+    w = 4 + doc_id % 13 by h = 4 + doc_id % 11 at rate = 2 + doc_id % 7
+    fps, with pixel channel value (doc_id + 7·frame + x + 3·y + 5·c)
+    % 256 — closed-form so a SQL oracle can predict per-frame statistics
+    exactly while the decode itself does the full RIFF/header/DIB work."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"].astype(np.int64):
+                did = int(did)
+                w = 4 + did % 13
+                h = 4 + did % 11
+                n = 1 + did % 5
+                rate = 2 + did % 7
+                f = np.arange(n, dtype=np.int64)[:, None, None, None]
+                y = np.arange(h, dtype=np.int64)[None, :, None, None]
+                x = np.arange(w, dtype=np.int64)[None, None, :, None]
+                c = np.arange(3, dtype=np.int64)[None, None, None, :]
+                arr = ((did + 7 * f + x + 3 * y + 5 * c) % 256).astype(np.uint8)
+                payloads.append(encode_avi_rgb24(arr, rate))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(np.int64).values,
+                 "kind": "video", "payload": payloads, "meta": None}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema=MEDIA_SCHEMA
+    )
+
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
@@ -363,9 +580,10 @@ def decode_images(media: DataFrame, feat_dim: int = 16) -> DataFrame:
 
     PNG payloads take the REAL decode path (stdlib ``decode_png``): true
     width/height/channels and a feature vector of the first ``feat_dim``
-    pixels scaled to [0, 1]. Other payload kinds (no audio/video libs in
-    this container) get the deterministic hash-derived fake over the same
-    Arrow plumbing."""
+    pixels scaled to [0, 1]. Non-PNG payloads (opaque bytes, compressed
+    codecs) get the deterministic hash-derived fake over the same Arrow
+    plumbing; real WAV and uncompressed-AVI paths live in
+    ``decode_wav_stats`` / ``decode_avi_frame_stats``."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

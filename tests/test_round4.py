@@ -158,3 +158,62 @@ def test_wav_media_decode_matches_generator(spark, sf_dir):
         j = np.arange(n * ch, dtype=np.int64)
         amp = (did * 31 + j * 17) % 65536 - 32768
         assert r["amp_sum"] == amp.sum() and r["amp_max"] == amp.max()
+
+
+def test_avi_codec_roundtrip_and_rejection():
+    """The stdlib AVI codec is a real container codec: round-trips
+    frames exactly (incl. BGR order, bottom-up rows, stride padding —
+    w=5 forces a 1-byte row pad) and rejects corrupted / compressed
+    payloads instead of emitting silent garbage (same contract as
+    decode_png / decode_wav)."""
+    import struct
+
+    import pytest
+
+    from opendataloader_pdf_spark.functions import multimodal as M
+
+    rng = (np.arange(4 * 6 * 5 * 3, dtype=np.int64) * 37 % 256).astype(np.uint8)
+    frames = rng.reshape(4, 6, 5, 3)  # n=4, h=6, w=5 (odd width → padded)
+    avi = M.encode_avi_rgb24(frames, rate=12, scale=1)
+    w, h, rate, scale, got = M.decode_avi(avi)
+    assert (w, h, rate, scale) == (5, 6, 12, 1)
+    assert (got == frames).all()
+
+    with pytest.raises(ValueError):  # not RIFF/AVI
+        M.decode_avi(b"JUNK" + avi[4:])
+    with pytest.raises(ValueError):  # container size field corrupted
+        M.decode_avi(avi[:4] + struct.pack("<I", 5) + avi[8:])
+    # compressed biCompression in strf must be rejected (no codec libs)
+    bad = bytearray(avi)
+    strf_at = avi.index(b"strf")
+    bad[strf_at + 8 + 16:strf_at + 8 + 20] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError):
+        M.decode_avi(bytes(bad))
+    # frame-count mismatch between avih and movi must be caught
+    avih_at = avi.index(b"avih")
+    bad2 = bytearray(avi)
+    bad2[avih_at + 8 + 16:avih_at + 8 + 20] = struct.pack("<I", 9)
+    with pytest.raises(ValueError):
+        M.decode_avi(bytes(bad2))
+
+
+def test_avi_media_decode_matches_generator(spark, sf_dir):
+    """documents_as_avi_media → decode_avi_frame_stats recovers the
+    generator's closed form per FRAME through the full encode→RIFF-walk→
+    DIB-decode path (one output row per frame, the explode shape)."""
+    from opendataloader_pdf_spark.functions import multimodal as M
+    from opendataloader_pdf_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(30)
+    got = M.decode_avi_frame_stats(M.documents_as_avi_media(docs)).toPandas()
+    dids = docs.select("doc_id").toPandas()["doc_id"].astype(int)
+    assert len(got) == int(sum(1 + d % 5 for d in dids))
+    for _, r in got.iterrows():
+        did, fi = int(r["media_id"]), int(r["frame_idx"])
+        w, h = 4 + did % 13, 4 + did % 11
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["rate"] == 2 + did % 7
+        x = np.arange(w, dtype=np.int64)[None, :, None]
+        y = np.arange(h, dtype=np.int64)[:, None, None]
+        c = np.arange(3, dtype=np.int64)[None, None, :]
+        assert r["frame_sum"] == int(((did + 7 * fi + x + 3 * y + c * 5) % 256).sum())

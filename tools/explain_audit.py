@@ -79,6 +79,12 @@ AUDITED = [
     "k1_json_lines",
     "multimodal_frame_sample",
     "lsh_topk",
+    "ivf_topk_checkable",
+    "ann_recall",
+    "multimodal_audio_decode",
+    "multimodal_video_decode",
+    "cdc_envelope_parse",
+    "cdc_lsn_gap_audit",
 ]
 
 
