@@ -1,0 +1,130 @@
+"""Property-based codec contracts (no Spark): for RANDOM images, audio
+clips, and video frame stacks, encode→decode is the identity, and a
+single flipped byte anywhere in the payload either still round-trips to
+the SAME content or raises ValueError — silent corruption (decode
+succeeds with different content) must be impossible for PNG (every
+chunk CRC-verified) and vanishingly detectable for the RIFF formats'
+structural fields. Complements the closed-form oracle entries with
+adversarial shapes: 1×1 images, odd widths (stride padding), zero-frame
+/ single-sample edge cases."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from opendataloader_pdf_spark.functions import multimodal as M
+
+
+@st.composite
+def gray_images(draw):
+    w = draw(st.integers(1, 40))
+    h = draw(st.integers(1, 40))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+
+
+@st.composite
+def pcm_clips(draw):
+    ch = draw(st.integers(1, 2))
+    n = draw(st.integers(1, 500))
+    rate = draw(st.sampled_from([8000, 11025, 16000, 44100]))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    samples = rng.integers(-32768, 32768, size=n * ch, dtype=np.int64)
+    return samples.astype(np.int16), rate, ch
+
+
+@st.composite
+def rgb_clips(draw):
+    w = draw(st.integers(1, 16))
+    h = draw(st.integers(1, 16))
+    n = draw(st.integers(1, 6))
+    rate = draw(st.integers(1, 60))
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8), rate
+
+
+@settings(max_examples=40, deadline=None)
+@given(gray_images())
+def test_png_roundtrip(img):
+    w, h, ch, bd, px = M.decode_png(M.encode_png_gray(img))
+    assert (w, h, ch, bd) == (img.shape[1], img.shape[0], 1, 8)
+    assert (px.reshape(img.shape) == img).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(pcm_clips())
+def test_wav_roundtrip(clip):
+    samples, rate, ch = clip
+    got_ch, got_rate, nf, got = M.decode_wav(
+        M.encode_wav_pcm16(samples, rate, ch)
+    )
+    assert (got_ch, got_rate, nf) == (ch, rate, len(samples) // ch)
+    assert (got == samples).all()
+
+
+@settings(max_examples=40, deadline=None)
+@given(rgb_clips())
+def test_avi_roundtrip(clip):
+    frames, rate = clip
+    w, h, got_rate, scale, got = M.decode_avi(M.encode_avi_rgb24(frames, rate))
+    assert (w, h, got_rate, scale) == (
+        frames.shape[2], frames.shape[1], rate, 1,
+    )
+    assert (got == frames).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(gray_images(), st.integers(0, 2**31 - 1))
+def test_png_no_silent_corruption(img, flip_seed):
+    """PNG is fully CRC-covered: ANY single flipped byte must either
+    raise or (impossible for a bit flip under crc32) decode identically.
+    In practice: always raises."""
+    data = bytearray(M.encode_png_gray(img))
+    rng = np.random.default_rng(flip_seed)
+    i = int(rng.integers(8, len(data)))  # past the magic
+    data[i] ^= int(rng.integers(1, 256))
+    try:
+        w, h, ch, bd, px = M.decode_png(bytes(data))
+    except Exception:  # ValueError, zlib.error, struct.error: all refusals
+        return
+    assert (w, h) == (img.shape[1], img.shape[0])
+    assert (px.reshape(img.shape) == img).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(rgb_clips(), st.integers(0, 2**31 - 1))
+def test_avi_structural_field_corruption_detected(clip, flip_seed):
+    """RIFF carries no CRC, so only STRUCTURAL corruption is detectable —
+    flip a byte inside the size/header region (first 100 bytes past the
+    magic) and the decoder must either raise or return a payload of the
+    declared geometry (it must never crash with an unexpected error or
+    return a malformed array)."""
+    frames, rate = clip
+    data = bytearray(M.encode_avi_rgb24(frames, rate))
+    rng = np.random.default_rng(flip_seed)
+    i = int(rng.integers(4, min(100, len(data))))
+    data[i] ^= int(rng.integers(1, 256))
+    try:
+        w, h, _r, _s, got = M.decode_avi(bytes(data))
+    except ValueError:
+        return
+    assert got.shape == (got.shape[0], h, w, 3)
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (1, 39), (39, 1)])
+def test_png_degenerate_shapes(shape):
+    img = (np.arange(shape[0] * shape[1]) % 256).astype(np.uint8).reshape(shape)
+    _w, _h, _c, _b, px = M.decode_png(M.encode_png_gray(img))
+    assert (px.reshape(shape) == img).all()
+
+
+def test_avi_single_pixel_single_frame():
+    frames = np.array([[[[7, 8, 9]]]], dtype=np.uint8)
+    w, h, rate, scale, got = M.decode_avi(M.encode_avi_rgb24(frames, 1))
+    assert (w, h) == (1, 1) and (got == frames).all()
