@@ -112,20 +112,36 @@ class PartitionOffsetTail:
                batch_id: int) -> DataFrame:
         """The round's slice: for every partition p, offsets
         [offs[p], offs[p]+per_round), with delivery_seq interleaved into
-        batch slot ``batch_id``. Pure function of (events, offs)."""
+        batch slot ``batch_id``. Pure function of (events, offs).
+
+        The filter is a LITERAL OR-of-ranges (one disjunct per
+        partition), not a map-lookup comparison: literal range
+        predicates push all the way into the parquet scan (row-group
+        min/max pruning on ``offset``/``partition``), so a round over a
+        10^10-event log reads only the row groups covering the live
+        offset windows. The map lookup survives only in the
+        delivery_seq projection, where no pushdown is needed."""
+        import functools
+
+        cond = functools.reduce(
+            lambda a, b: a | b,
+            [
+                (F.col("partition") == p)
+                & (F.col("offset") >= offs.get(p, 0))
+                & (F.col("offset") < offs.get(p, 0) + self.per_round)
+                for p in range(self.n_partitions)
+            ],
+        )
         lo = F.create_map(
             *[x for p in range(self.n_partitions)
               for x in (F.lit(p), F.lit(offs.get(p, 0)))]
         )[F.col("partition")]
-        picked = events.filter(
-            (F.col("offset") >= lo) & (F.col("offset") < lo + self.per_round)
-        )
         seq = (
             F.lit(batch_id) * self.batch_size
             + (F.col("offset") - lo) * self.n_partitions
             + F.col("partition")
         )
-        return picked.withColumn("delivery_seq", seq.cast("long"))
+        return events.filter(cond).withColumn("delivery_seq", seq.cast("long"))
 
     def _advance_map(self, offs: dict[int, int],
                      max_seen: dict[int, int]) -> dict[int, int]:

@@ -128,3 +128,20 @@ def test_resume_mid_stream_continues_not_restarts(spark, tmp_path):
     got = sink.read().select(sel)
     assert exp.select(sel).exceptAll(got).count() == 0
     assert got.exceptAll(exp.select(sel)).count() == 0
+
+
+def test_slice_pushes_offset_ranges_to_parquet_scan(spark, tmp_path):
+    """Plan shape: the round slice over a PARQUET-backed stream must
+    push the per-partition offset ranges into the scan (row-group
+    min/max pruning at 10^10 events) — a map-lookup comparison would
+    leave PushedFilters empty and read the whole log."""
+    path = str(tmp_path / "stream")
+    _sharded(spark, n=2000).write.parquet(path)
+    ev = spark.read.parquet(path)
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), n_buckets=4)
+    tail = PartitionOffsetTail(spark, sink, n_partitions=P, per_round=100)
+    sl = tail._slice(ev, {0: 100, 1: 100, 2: 100, 3: 100}, batch_id=1)
+    plan = sl._jdf.queryExecution().executedPlan().toString()
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "offset" in pushed[0] and "GreaterThanOrEqual" in pushed[0]
