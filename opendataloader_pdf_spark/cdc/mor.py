@@ -54,12 +54,22 @@ class MergeOnReadSink(ParquetMergeSink):
     # ----------------------------------------------------------------- read
 
     def read_raw(self, buckets: list[int] | None = None,
-                 with_bucket: bool = False) -> DataFrame:
+                 with_bucket: bool = False,
+                 keys: list | None = None) -> DataFrame:
         """Unresolved union of base + delta rows (every version of every
         key, tombstones included). This is what LWW-folding consumers
         (the engine's analytic probe window, compaction itself) want —
         they fold versions anyway, so resolving first would shuffle
-        twice."""
+        twice.
+
+        ``keys`` enables manifest-level delta FILE pruning for point
+        reads (the Iceberg file-stats move): each delta entry carries
+        the key min/max its writer read from the parquet footers, and a
+        delta whose range excludes every requested key provably holds
+        no version of them — skipping it cannot change the LWW fold for
+        those keys. Base files are never skipped (they anchor the
+        bucket), and deltas without recorded stats (older manifests)
+        are conservatively kept."""
         m = self.manifest()
         schema = self.current_schema()
         want = None if buckets is None else {str(b) for b in buckets}
@@ -72,6 +82,8 @@ class MergeOnReadSink(ParquetMergeSink):
                     os.path.join(self.data_dir, ent["path"])
                 )
             for d in ent.get("deltas", []):
+                if keys is not None and not self._range_may_contain(d, keys):
+                    continue
                 by_schema.setdefault(d["schema_id"], []).append(
                     os.path.join(self.data_dir, d["path"])
                 )
@@ -96,12 +108,54 @@ class MergeOnReadSink(ParquetMergeSink):
             df = self._bucketed(df)
         return df
 
+    @staticmethod
+    def _range_may_contain(delta_ent: dict, keys: list) -> bool:
+        """True unless the delta's recorded key range provably excludes
+        every requested key. Missing stats → must read."""
+        lo, hi = delta_ent.get("key_min"), delta_ent.get("key_max")
+        if lo is None or hi is None:
+            return True
+        return any(lo <= k <= hi for k in keys)
+
+    def _dir_key_range(self, dpath: str) -> tuple | None:
+        """(min, max) of the key column across a delta dir's parquet
+        footers — the writer already has the files open-adjacent, so the
+        stats cost no Spark job (Iceberg collects file stats the same
+        way). None when any footer lacks min/max."""
+        import pyarrow.parquet as pq
+
+        lo = hi = None
+        for f in os.listdir(dpath):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.read_metadata(os.path.join(dpath, f))
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            ki = idx.get(self.key)
+            if ki is None:
+                return None
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ki).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        if not isinstance(lo, (str, int, float)):  # manifest is JSON
+            return None
+        return (lo, hi)
+
+    def _lookup_read(self, buckets: list[int], keys: list) -> DataFrame:
+        return self.read(buckets=buckets, keys=keys)
+
     def read(self, buckets: list[int] | None = None, with_bucket: bool = False,
-             include_deleted: bool = False) -> DataFrame:
+             include_deleted: bool = False,
+             keys: list | None = None) -> DataFrame:
         """Resolved current state: one LWW fold (max_by over the order
         column) per key across base + deltas. Map-side combinable — a
-        hot key's versions collapse per scan task before the shuffle."""
-        raw = self.read_raw(buckets=buckets)
+        hot key's versions collapse per scan task before the shuffle.
+        ``keys`` prunes delta files by manifest key range (point reads)."""
+        raw = self.read_raw(buckets=buckets, keys=keys)
         schema = self.current_schema()
         cols = [f.name for f in schema.fields] + ["_deleted"]
         payload = [c for c in cols if c != self.key]
@@ -217,11 +271,15 @@ class MergeOnReadSink(ParquetMergeSink):
             ent = m["buckets"].setdefault(
                 str(b), {"path": None, "schema_id": m["schema_id"], "rows": 0}
             )
-            ent.setdefault("deltas", []).append({
+            dent = {
                 "path": f"{delta_rel}/bucket={b}",
                 "schema_id": m["schema_id"],
                 "rows": self._dir_rows(dpath),
-            })
+            }
+            rng = self._dir_key_range(dpath)
+            if rng is not None:
+                dent["key_min"], dent["key_max"] = rng
+            ent.setdefault("deltas", []).append(dent)
         m["snapshot_id"] = sid
         m["batch_id"] = batch_id
         m["commits"].append({"batch_id": batch_id, "snapshot_id": sid,

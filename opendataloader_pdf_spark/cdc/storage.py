@@ -291,7 +291,16 @@ class ParquetMergeSink:
             r["b"] for r in
             kdf.select(self.bucket_of(self.key).alias("b")).distinct().collect()
         )
-        return self.read(buckets=buckets).filter(F.col(self.key).isin(list(keys)))
+        return self._lookup_read(buckets, list(keys)).filter(
+            F.col(self.key).isin(list(keys))
+        )
+
+    def _lookup_read(self, buckets: list[int], keys: list) -> DataFrame:
+        """The state read a point lookup resolves against. The COW sink
+        has one file per bucket, so bucket pruning is already file-exact;
+        the MoR sink overrides this to ALSO skip delta files whose
+        manifest key range excludes every looked-up key."""
+        return self.read(buckets=buckets)
 
     # ---------------------------------------------------------------- merge
 

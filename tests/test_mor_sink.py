@@ -97,6 +97,50 @@ def test_mor_kill_resume_byte_identical(spark, plain_events, tmp_path):
     )
 
 
+def _changes(spark, rows):
+    """(doc_id, lsn, op) triples → a minimal v1-schema change batch."""
+    return spark.createDataFrame(
+        [(d, [1, 2], 2, "s", lsn, op) for d, lsn, op in rows],
+        "doc_id string, tokens array<int>, n_tok int, source string, "
+        "lsn long, op string",
+    )
+
+
+def test_mor_lookup_prunes_deltas_by_key_range(spark, tmp_path):
+    """Point reads must skip delta FILES whose manifest key range
+    provably excludes every looked-up key (the Iceberg file-stats move),
+    without changing the LWW resolution for the keys that remain."""
+    mor = MergeOnReadSink(spark, str(tmp_path / "mor"), n_buckets=1)
+    ReplayEngine(spark, mor).bootstrap(None)
+    mor.merge(_changes(spark, [(f"a_{i:02d}", 10 + i, "update")
+                               for i in range(8)]), batch_id=1)
+    mor.merge(_changes(spark, [(f"z_{i:02d}", 20 + i, "update")
+                               for i in range(8)]), batch_id=2)
+    mor.merge(_changes(spark, [("a_03", 99, "update")]), batch_id=3)
+
+    # writer recorded parquet-footer key ranges in the manifest entries
+    deltas = mor.manifest()["buckets"]["0"]["deltas"]
+    assert [(d["key_min"], d["key_max"]) for d in deltas] == [
+        ("a_00", "a_07"), ("z_00", "z_07"), ("a_03", "a_03")
+    ]
+    d_a, d_z, d_up = (d["path"].split("/")[0] for d in deltas)
+
+    # correct under pruning: the LWW winner (lsn 99 update) still wins
+    got = {r["doc_id"]: r["lsn"]
+           for r in mor.lookup(["a_03", "a_05"]).collect()}
+    assert got == {"a_03": 99, "a_05": 15}
+
+    # provable: the z-range delta never enters the scan's file index
+    files = "\n".join(mor.lookup(["a_03"]).inputFiles())
+    assert d_a in files and d_up in files
+    assert d_z not in files
+
+    # stat-less entries (older manifests) are conservatively read
+    assert MergeOnReadSink._range_may_contain({"path": "p"}, ["anything"])
+    # full reads are unaffected by the feature
+    assert mor.read().count() == 16
+
+
 def test_mor_patch_stream_matches_cow(spark, tmp_path):
     ev = gen_change_events(spark, 4_000, 400, seed=13, patch_frac=0.3)
     ev.write.mode("overwrite").parquet(str(tmp_path / "ev"))
