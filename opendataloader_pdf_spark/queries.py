@@ -5682,6 +5682,90 @@ def cdc_offset_tail(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_point_lookup",
+    """
+    WITH ch AS (
+      SELECT CASE WHEN event_id < (SELECT max(event_id) // 2 + 1 FROM events)
+                  THEN 'a' ELSE 'z' END || (user_id % 200)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             event_type AS source,
+             (event_id % 13 + 1)::INT AS n_tok
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(source, lsn) AS source, arg_max(n_tok, lsn) AS n_tok
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, source, lsn, n_tok
+    FROM s WHERE op != 'delete'
+      AND doc_id IN ('a0', 'a1', 'a37', 'a100', 'a120',
+                     'z0', 'z37', 'z120', 'z199', 'q1')
+    """,
+    doc="Point lookup against the REAL merge-on-read table with "
+        "manifest key-range DELTA-FILE pruning (cdc/mor.py): replay a "
+        "two-tranche change stream (early events under an 'a' key "
+        "prefix, late under 'z') into a MoR sink, then lookup() a fixed "
+        "key set. The scan is bucket-pruned AND skips every delta file "
+        "whose footer-derived key range excludes the keys — asserted at "
+        "runtime against the scan's file index. The oracle is the "
+        "declarative LWW state filtered to the same keys — equal iff "
+        "pruning never drops a version that could win the fold. The 100 "
+        "TB shape: a 10-key read touches O(keys) files, not O(table).",
+)
+def cdc_point_lookup(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import MergeOnReadSink, ReplayEngine
+
+    ev = _t(spark, sf_dir, "events")
+    thr = int(ev.agg(F.max("event_id")).collect()[0][0]) // 2 + 1
+    ch = ev.select(
+        F.concat(
+            F.when(F.col("event_id") < thr, F.lit("a")).otherwise(F.lit("z")),
+            (F.col("user_id") % 200).cast("string"),
+        ).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 11).cast("int")).alias("tokens"),
+        (F.col("event_id") % 13 + 1).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    root = _engine_workdir("lkp_catalog", sf_dir)
+    sink = MergeOnReadSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    # batch 1 ≈ the a-tranche, batch 2 ≈ the z-tranche — deltas are
+    # key-prefix-localized, so a point read of an 'a' key can provably
+    # skip the z deltas
+    eng.replay(ch, batch_size=thr)
+
+    m = sink.manifest()
+    deltas = [d for e in m["buckets"].values() for d in e.get("deltas", [])]
+    if not all("key_min" in d for d in deltas):
+        raise AssertionError("writer failed to record delta key stats")
+
+    probe_key = "a37"
+    opened = sink.lookup([probe_key]).inputFiles()
+    for d in deltas:
+        if not (d["key_min"] <= probe_key <= d["key_max"]):
+            if any(d["path"] + "/" in f for f in opened):
+                raise AssertionError(
+                    f"scan opened provably-excluded delta {d['path']}"
+                )
+    if not any(d["key_min"].startswith("z") for d in deltas):
+        raise AssertionError("z-tranche produced no prunable delta")
+
+    keys = ["a0", "a1", "a37", "a100", "a120",
+            "z0", "z37", "z120", "z199", "q1"]
+    return sink.lookup(keys).select("doc_id", "source", "lsn", "n_tok")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5721,7 +5805,8 @@ _GATE_PRIORITY = [
     # already driver-certified on round-3+ code) plus
     # set_union_by_name, o1_multikey_rank, and scalar_string_family
     # (r02 greens with trivial, untouched scalar/set semantics; they
-    # rotate back first in round 5).
+    # rotate back first in round 5, together with the late-round-4
+    # cdc_point_lookup entry registered below this list).
     "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
     "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
 ]

@@ -202,7 +202,7 @@ def test_png_codec_roundtrip_all_filters():
         decode_png(bytes(bad))
 
 
-def test_decode_images_routes_png_payloads(spark):
+def test_decode_images_routes_png_payloads(spark, sf_dir):
     """decode_images dispatches PNG payloads to the real codec (true
     dimensions) while non-PNG payloads keep the deterministic fake."""
     from opendataloader_pdf_spark.functions.multimodal import (
@@ -212,7 +212,7 @@ def test_decode_images_routes_png_payloads(spark):
     )
     from opendataloader_pdf_spark.sources.tables import load_table
 
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    docs = load_table(spark, sf_dir, "documents").limit(40)
     real = decode_images(documents_as_png_media(docs)).toPandas()
     assert (real["width"] == 4 + real["media_id"] % 29).all()
     assert (real["height"] == 4 + real["media_id"] % 23).all()
