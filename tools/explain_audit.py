@@ -85,6 +85,7 @@ AUDITED = [
     "multimodal_video_decode",
     "cdc_envelope_parse",
     "cdc_lsn_gap_audit",
+    "cdc_point_lookup",
 ]
 
 
