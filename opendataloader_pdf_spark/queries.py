@@ -5784,6 +5784,7 @@ _GATE_PRIORITY = [
     "cdc_snapshot_handoff", "cdc_offset_tail",
     "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
     "multimodal_video_decode", "w2_watermark_late_data",
+    "cdc_point_lookup",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -5797,16 +5798,19 @@ _GATE_PRIORITY = [
     "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
     "j2_proximity_score", "j3_rank_k_repeats", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render", "k3_html_render",
-    "k4_text_lines", "o2_xy_cut_order",
+    "k4_text_lines",
     "cdc_lineage_metrics", "w1_windowed_activity",
-    # Displaced past the ~50-row window to make room for the six new
-    # wire-format/audit/offset/video entries above: the former
-    # r03-green buffer (lsh_topk, cdc_txn_publish, cdc_wap_publish —
-    # already driver-certified on round-3+ code) plus
-    # set_union_by_name, o1_multikey_rank, and scalar_string_family
-    # (r02 greens with trivial, untouched scalar/set semantics; they
-    # rotate back first in round 5, together with the late-round-4
-    # cdc_point_lookup entry registered below this list).
+    # Displaced past the ~50-row window to make room for the new
+    # wire-format/audit/offset/video/point-lookup entries above: the
+    # former r03-green buffer (lsh_topk, cdc_txn_publish,
+    # cdc_wap_publish — already driver-certified on round-3+ code),
+    # o2_xy_cut_order (oracle-less, so its driver row is the weak
+    # rows-only check — its real gate is the r02 rows record plus the
+    # six pytest geometry cases), plus set_union_by_name,
+    # o1_multikey_rank, and scalar_string_family (r02 greens with
+    # trivial, untouched scalar/set semantics). They rotate back
+    # first in round 5.
+    "o2_xy_cut_order",
     "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
     "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
 ]
