@@ -367,14 +367,24 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
             f"RIFF size field {riff_size} != payload size {len(data) - 8}"
         )
 
+    def need(buf: bytes, n: int, what: str) -> bytes:
+        if len(buf) < n:
+            raise ValueError(f"truncated {what}: {len(buf)} < {n} bytes")
+        return buf
+
     def walk(buf: bytes):
         pos = 0
         while pos + 8 <= len(buf):
             tag = buf[pos:pos + 4]
             (ln,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+            if pos + 8 + ln > len(buf):
+                raise ValueError(
+                    f"chunk {tag!r} declares {ln} bytes, only "
+                    f"{len(buf) - pos - 8} remain"
+                )
             body = buf[pos + 8:pos + 8 + ln]
             if tag == b"LIST":
-                yield body[:4], body[4:]
+                yield need(body, 4, "LIST type")[:4], body[4:]
             else:
                 yield tag, body
             pos += 8 + ln + (ln & 1)
@@ -386,12 +396,14 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
         if tag == b"hdrl":
             for t2, b2 in walk(body):
                 if t2 == b"avih":
-                    vals = struct.unpack("<14I", b2[:56])
+                    vals = struct.unpack("<14I", need(b2, 56, "avih")[:56])
                     n_frames, w, h = vals[4], vals[8], vals[9]
                 elif t2 == b"strl":
                     for t3, b3 in walk(b2):
                         if t3 == b"strh":
-                            fcc, _hdl = struct.unpack("<4s4s", b3[:8])
+                            fcc, _hdl = struct.unpack(
+                                "<4s4s", need(b3, 28, "strh")[:8]
+                            )
                             if fcc != b"vids":
                                 raise ValueError(
                                     f"unsupported AVI stream {fcc!r}"
@@ -399,7 +411,7 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
                             scale, rate = struct.unpack("<II", b3[20:28])
                         elif t3 == b"strf":
                             (_sz, bw, bh, _pl, bits, comp) = struct.unpack(
-                                "<IiiHHI", b3[:20]
+                                "<IiiHHI", need(b3, 20, "strf")[:20]
                             )
                             if comp != 0 or bits != 24:
                                 raise ValueError(
@@ -417,10 +429,11 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
             f"movi has {len(raw_frames)} frames, header says {n_frames}"
         )
     stride = (w * 3 + 3) & ~3
-    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
-    for i, rf in enumerate(raw_frames):
+    for i, rf in enumerate(raw_frames):  # validate BEFORE the (h,w)-sized alloc
         if len(rf) != stride * h:
             raise ValueError(f"frame {i}: {len(rf)} bytes != {stride * h}")
+    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    for i, rf in enumerate(raw_frames):
         rows = np.frombuffer(rf, dtype=np.uint8).reshape(h, stride)
         out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
     return w, h, rate, scale, out
