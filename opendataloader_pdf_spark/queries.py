@@ -1554,6 +1554,88 @@ def o2_xy_cut_order(spark, sf_dir):
     return xy_cut_order(geo, ["doc_id", "page"])
 
 
+@register(
+    "o2_xy_cut_checkable",
+    """
+    WITH e AS (SELECT event_id AS e FROM events WHERE event_id < 144),
+    b AS (
+      SELECT e % 16 AS page, e // 16 AS k,
+             (e % 16) % 2 = 1 AS two,
+             ((e % 16) % 2 = 1 AND e // 16 = 0) AS banner
+      FROM e
+    ), g AS (
+      SELECT page, k,
+             CASE WHEN banner THEN -1
+                  WHEN two THEN ((k - 1) % 2)::INT
+                  ELSE 0 END AS col,
+             (CASE WHEN banner THEN 1100
+                   WHEN two THEN 1000 - 30 * ((k - 1) // 2)
+                   ELSE 1000 - 30 * k END + 2 * page)::DOUBLE AS ty
+      FROM b
+    )
+    SELECT page, k AS block_id,
+           (row_number() OVER (PARTITION BY page ORDER BY col, ty DESC)
+            - 1)::INT AS reading_rank
+    FROM g
+    """,
+    doc="O2 checkable twin (the ivf_topk_checkable move, for the "
+        "rows-only flagship): run the REAL XY-Cut++ operator "
+        "(operators/folds.py:103-233 — cross-layout masking, density "
+        "axis preference, recursive projection cuts, two-pointer "
+        "cross-element merge; XYCutPlusPlusSorter.java:69-618) on "
+        "deterministic SEPARABLE layouts whose correct reading order is "
+        "provable and SQL-expressible. Odd pages: a full-width banner "
+        "(width >= 0.9*max, overlapping >= 2 blocks -> masked, merged "
+        "first by top-Y) over a two-column body whose inter-column "
+        "X-gap (100) dominates the inter-band Y-gap (10), forcing the "
+        "X-cut first -> left column top-to-bottom, then right. Even "
+        "pages: a single column with varied widths (the widest third "
+        "masked -> exercises the partial-mask merge), pure Y-cuts. In "
+        "every case the provable order reduces to ORDER BY column, "
+        "top_y DESC — the DuckDB twin — so the recursion, masking "
+        "predicate, axis choice, and merge rule are all value-hash "
+        "gated. Per-page coordinate shifts vary absolute geometry "
+        "without changing any gap.",
+)
+def o2_xy_cut_checkable(spark, sf_dir):
+    from opendataloader_pdf_spark.operators.folds import xy_cut_order
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 144)
+        .select(F.col("event_id").alias("e"))
+    )
+    p = F.col("e") % 16
+    k = F.floor(F.col("e") / 16).cast("long")
+    two = (p % 2) == 1
+    banner = two & (k == 0)
+    col = F.when(banner, F.lit(-1)).when(two, ((k - 1) % 2).cast("int")).otherwise(F.lit(0))
+    band = F.floor((k - 1) / 2)
+    lx0 = F.when(banner, F.lit(0)).when(two, col.cast("long") * 300).otherwise(F.lit(0))
+    rx0 = (
+        F.when(banner, F.lit(500))
+        .when(two, lx0 + 200)
+        .otherwise(200 + 40 * (k % 3))
+    )
+    ty0 = (
+        F.when(banner, F.lit(1100))
+        .when(two, 1000 - 30 * band)
+        .otherwise(1000 - 30 * k)
+    )
+    by0 = F.when(banner, F.lit(1090)).otherwise(ty0 - 20)
+    geo = e.select(
+        F.lit("d0").alias("doc_id"),
+        p.alias("page"),
+        k.alias("block_id"),
+        (lx0 + p).cast("double").alias("left_x"),
+        (rx0 + p).cast("double").alias("right_x"),
+        (ty0 + 2 * p).cast("double").alias("top_y"),
+        (by0 + 2 * p).cast("double").alias("bottom_y"),
+    )
+    out = xy_cut_order(geo, ["doc_id", "page"])
+    return out.select("page", "block_id", "reading_rank")
+
+
 # =====================================================================
 # Filter stack, classification, scalar families (F4-F9, A4, A6, A14, §2.8)
 # =====================================================================
@@ -5810,6 +5892,9 @@ _GATE_PRIORITY = [
     # o1_multikey_rank, and scalar_string_family (r02 greens with
     # trivial, untouched scalar/set semantics). They rotate back
     # first in round 5.
+    "o2_xy_cut_checkable",  # new post-gate-freeze: strict-oracle twin of
+    # the rows-only flagship below; first in line for a round-5 driver
+    # row (certified this round by check_oracles + pytest)
     "o2_xy_cut_order",
     "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
     "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",

@@ -217,3 +217,24 @@ def test_avi_media_decode_matches_generator(spark, sf_dir):
         y = np.arange(h, dtype=np.int64)[:, None, None]
         c = np.arange(3, dtype=np.int64)[None, None, :]
         assert r["frame_sum"] == int(((did + 7 * fi + x + 3 * y + c * 5) % 256).sum())
+
+
+def test_xy_cut_checkable_provable_order(spark, sf_dir):
+    """The checkable XY-Cut entry's ranks equal the layout's provable
+    reading order, recomputed here independently of both the operator
+    and the DuckDB oracle: banner first (cross-layout merge), then
+    left column top-to-bottom, then right (odd pages); pure
+    top-to-bottom on even pages."""
+    from opendataloader_pdf_spark.queries import QUERIES
+
+    got = QUERIES["o2_xy_cut_checkable"].fn(spark, sf_dir).toPandas()
+    assert len(got) == 144
+    for page, grp in got.groupby("page"):
+        ranks = grp.set_index("block_id")["reading_rank"].to_dict()
+        if page % 2 == 1:
+            # banner k=0, left col k=1,3,5,7 (bands top->bottom),
+            # right col k=2,4,6,8
+            expect = {0: 0, 1: 1, 3: 2, 5: 3, 7: 4, 2: 5, 4: 6, 6: 7, 8: 8}
+        else:
+            expect = {k: k for k in range(9)}
+        assert ranks == expect, (page, ranks)
