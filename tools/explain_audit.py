@@ -86,6 +86,7 @@ AUDITED = [
     "cdc_envelope_parse",
     "cdc_lsn_gap_audit",
     "cdc_point_lookup",
+    "o2_xy_cut_checkable",
 ]
 
 
