@@ -5865,7 +5865,7 @@ _GATE_PRIORITY = [
     "cdc_envelope_parse", "cdc_envelope_replay", "cdc_lsn_gap_audit",
     "cdc_snapshot_handoff", "cdc_offset_tail",
     "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
-    "multimodal_video_decode", "w2_watermark_late_data",
+    "multimodal_video_decode", "o2_xy_cut_checkable",
     "cdc_point_lookup",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
@@ -5886,15 +5886,17 @@ _GATE_PRIORITY = [
     # wire-format/audit/offset/video/point-lookup entries above: the
     # former r03-green buffer (lsh_topk, cdc_txn_publish,
     # cdc_wap_publish — already driver-certified on round-3+ code),
-    # o2_xy_cut_order (oracle-less, so its driver row is the weak
-    # rows-only check — its real gate is the r02 rows record plus the
-    # six pytest geometry cases), plus set_union_by_name,
-    # o1_multikey_rank, and scalar_string_family (r02 greens with
-    # trivial, untouched scalar/set semantics). They rotate back
-    # first in round 5.
-    "o2_xy_cut_checkable",  # new post-gate-freeze: strict-oracle twin of
-    # the rows-only flagship below; first in line for a round-5 driver
-    # row (certified this round by check_oracles + pytest)
+    # w2_watermark_late_data (r03-green; its round-4 oracle hardening
+    # — boundary sentinels at off 559/563 per ADVICE — is certified by
+    # check_oracles + test_streaming_windows on current code, so its
+    # window slot went to the brand-new o2_xy_cut_checkable, which had
+    # NO driver record at all), o2_xy_cut_order (oracle-less, so its
+    # driver row is the weak rows-only check — its real gate is the
+    # r02 rows record plus the six pytest geometry cases), plus
+    # set_union_by_name, o1_multikey_rank, and scalar_string_family
+    # (r02 greens with trivial, untouched scalar/set semantics). They
+    # rotate back first in round 5.
+    "w2_watermark_late_data",
     "o2_xy_cut_order",
     "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
     "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
