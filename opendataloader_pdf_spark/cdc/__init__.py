@@ -42,6 +42,14 @@ from opendataloader_pdf_spark.cdc.txn import (  # noqa: F401
     commit_all,
     recover,
 )
+from opendataloader_pdf_spark.cdc.ddl import (  # noqa: F401
+    DdlEvent,
+    assign_epochs,
+    collect_timeline,
+    parse_ddl,
+    registry_from_timeline,
+    replay_ddl_stream,
+)
 from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
     apply_changes,
     changed_buckets,

@@ -5848,6 +5848,202 @@ def cdc_point_lookup(spark, sf_dir):
     return sink.lookup(keys).select("doc_id", "source", "lsn", "n_tok")
 
 
+@register(
+    "cdc_ddl_stream",
+    f"""
+    WITH params AS (
+      SELECT ((2 * max(event_id)) // 3)
+               + (1 - ((2 * max(event_id)) // 3) % 2) AS l1
+      FROM events
+    ), ch AS (
+      SELECT 'd' || (user_id % 300)::VARCHAR AS doc_id,
+             event_id * 2 AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 101)::INT, (user_id % 61)::INT,
+              length(event_type)::INT] AS tokens,
+             CASE WHEN event_id * 2 >= (SELECT l1 FROM params)
+                    OR event_id % 97 = 0
+                  THEN substr(event_type, 1, 2) END AS lang,
+             (event_id % 97 = 0
+              AND event_id * 2 < (SELECT l1 FROM params)) AS premature
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn,
+             arg_max({{'op': op, 'tokens': tokens, 'lang': lang}}, lsn) AS w
+      FROM ch WHERE NOT premature GROUP BY doc_id
+    ), fin AS (
+      SELECT doc_id, lsn, w['tokens'] AS tokens, w['lang'] AS lang
+      FROM s WHERE w['op'] != 'delete'
+    )
+    SELECT doc_id, lsn, 3::BIGINT AS n_tok,
+           len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp,
+           lang
+    FROM fin
+    """,
+    doc="In-stream DDL through the REAL engine (cdc/ddl.py): the change "
+        "stream itself carries two schema-change events — 'ALTER TABLE "
+        "docs ADD COLUMN lang string' at lsn L1 and 'ALTER TABLE docs "
+        "ALTER COLUMN n_tok TYPE bigint' at L2 — interleaved with the "
+        "DML by LSN, the way a MySQL binlog / Debezium schema-change "
+        "topic delivers them. replay_ddl_stream parses the statements "
+        "(JVM regexp), builds the epoch registry, stamps every data "
+        "row's schema_version from its LSN position in the DDL "
+        "timeline, dead-letters rows that populate `lang` BEFORE L1 "
+        "(runtime-asserted nonzero), and replays through the unchanged "
+        "ReplayEngine — whose per-batch registry diff evolves the sink "
+        "exactly at the declared boundaries. Runtime-asserts the first "
+        "snapshot's schema had no lang and int n_tok while the final "
+        "schema has lang and bigint n_tok (type widening is invisible "
+        "to the pandas hash compare, so it is asserted, not hashed). "
+        "The oracle computes the surviving LWW state declaratively, "
+        "excluding the premature rows by the same predicate.",
+)
+def cdc_ddl_stream(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        replay_ddl_stream,
+        schema_at,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    l1 = ((2 * mx) // 3) | 1  # odd: never collides with the even data lsns
+    l2 = ((4 * mx) // 3) | 1
+    lsn = (F.col("event_id") * 2).cast("long")
+    data = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 300).cast("string")).alias("doc_id"),
+        lsn.alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array(
+            (F.col("event_id") % 101).cast("int"),
+            (F.col("user_id") % 61).cast("int"),
+            F.length("event_type").cast("int"),
+        ).alias("tokens"),
+        F.lit(3).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        # lang legitimately appears from L1 on; the event_id%97 rows
+        # below L1 populate it PREMATURELY — the stream is corrupt
+        # there and the engine must dead-letter them, not merge them
+        F.when(
+            (lsn >= F.lit(l1)) | (F.col("event_id") % 97 == 0),
+            F.substring("event_type", 1, 2),
+        ).alias("lang"),
+        F.col("ts"),
+        lsn.alias("delivery_seq"),
+        F.lit(None).cast("string").alias("ddl"),
+    )
+    ddl_rows = spark.createDataFrame(
+        [("ddl", l1, "ALTER TABLE docs ADD COLUMN lang string"),
+         ("ddl", l2, "alter table docs alter column n_tok type bigint")],
+        "op string, lsn long, ddl string",
+    )
+    stream = data.unionByName(ddl_rows, allowMissingColumns=True)
+
+    root = _engine_workdir("ddl_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    # batch 0 ends below L1, so the first committed snapshot is provably
+    # pre-DDL — the schema asserts below check the evolution actually
+    # happened at the stream-declared boundary, not at bootstrap
+    summary, timeline, n_premature = replay_ddl_stream(
+        spark, sink, stream, batch_size=l1 - 1
+    )
+    if len(timeline) != 2 or n_premature == 0:
+        raise AssertionError(
+            f"DDL replay shape off: timeline={timeline}, "
+            f"premature={n_premature}"
+        )
+    first_sid = sink.manifest()["commits"][0]["snapshot_id"]
+    v1 = {f.name: f.dataType.simpleString()
+          for f in schema_at(sink, first_sid).fields}
+    fin = {f.name: f.dataType.simpleString()
+           for f in sink.current_schema().fields}
+    if "lang" in v1 or v1.get("n_tok") != "int":
+        raise AssertionError(f"pre-DDL snapshot schema wrong: {v1}")
+    if fin.get("lang") != "string" or fin.get("n_tok") != "bigint":
+        raise AssertionError(f"post-DDL schema did not evolve: {fin}")
+
+    return sink.read().select(
+        "doc_id", "lsn", "n_tok",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+        "lang",
+    )
+
+
+@register(
+    "cdc_ddl_timeline",
+    """
+    WITH d AS (
+      SELECT event_id AS lsn,
+             event_id % 3 = 0 AS is_widen,
+             'c_' || (event_id % 89)::VARCHAR AS col,
+             CASE WHEN event_id % 3 = 0
+                  THEN ['bigint', 'double'][(event_id % 2)::INT + 1]
+                  ELSE ['string', 'bigint', 'double',
+                        'array<int>'][(event_id % 4)::INT + 1]
+             END AS typ
+      FROM events WHERE event_id % 211 = 0
+    )
+    SELECT lsn,
+           CASE WHEN is_widen THEN 'widen_column'
+                ELSE 'add_column' END AS action,
+           col AS column_name,
+           typ AS dtype,
+           (row_number() OVER (ORDER BY lsn))::BIGINT AS epoch
+    FROM d
+    """,
+    doc="Wire-DDL parse layer alone (cdc/ddl.py parse_ddl): synthesize "
+        "ALTER TABLE statements with mixed case, irregular whitespace, "
+        "and both grammar forms (ADD COLUMN / ALTER COLUMN ... TYPE), "
+        "parse them with the JVM regexp path, and emit the typed "
+        "timeline with each DDL's epoch number. The oracle recomputes "
+        "the expected (action, column, dtype, epoch) declaratively "
+        "from the same deterministic construction — a mismatch means "
+        "the regexp grammar mis-parsed a statement shape.",
+)
+def cdc_ddl_timeline(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc.ddl import parse_ddl
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_id") % 211 == 0)
+    is_widen = F.col("event_id") % 3 == 0
+    col_name = F.concat(F.lit("c_"), (F.col("event_id") % 89).cast("string"))
+    add_typ = F.element_at(
+        F.array(F.lit("string"), F.lit("bigint"), F.lit("double"),
+                F.lit("array<int>")),
+        (F.col("event_id") % 4 + 1).cast("int"),
+    )
+    widen_typ = F.element_at(
+        F.array(F.lit("bigint"), F.lit("double")),
+        (F.col("event_id") % 2 + 1).cast("int"),
+    )
+    # deliberately ugly wire text: lowercase keywords and doubled
+    # spaces on the widen form, uppercase on the add form
+    stmts = ev.select(
+        F.col("event_id").alias("lsn"),
+        F.when(
+            is_widen,
+            F.concat(F.lit("alter table  docs alter column "), col_name,
+                     F.lit(" type  "), widen_typ),
+        ).otherwise(
+            F.concat(F.lit("ALTER TABLE docs ADD COLUMN "), col_name,
+                     F.lit(" "), add_typ),
+        ).alias("ddl"),
+    )
+    parsed = parse_ddl(stmts)
+    return parsed.select(
+        "lsn", "action",
+        F.col("column").alias("column_name"),
+        "dtype",
+        F.row_number().over(Window.orderBy("lsn")).cast("long").alias("epoch"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -5866,7 +6062,7 @@ _GATE_PRIORITY = [
     "cdc_snapshot_handoff", "cdc_offset_tail",
     "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
     "multimodal_video_decode", "o2_xy_cut_checkable",
-    "cdc_point_lookup",
+    "cdc_point_lookup", "cdc_ddl_stream", "cdc_ddl_timeline",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -5879,11 +6075,15 @@ _GATE_PRIORITY = [
     "a6_fixpoint_depth", "a12_existence_prune", "a14_special_split",
     "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
     "j2_proximity_score", "j3_rank_k_repeats", "j4_neighbor_links",
-    "j7_anti_join", "k2_markdown_render", "k3_html_render",
-    "k4_text_lines",
+    "j7_anti_join", "k2_markdown_render",
     "cdc_lineage_metrics", "w1_windowed_activity",
     # Displaced past the ~50-row window to make room for the new
-    # wire-format/audit/offset/video/point-lookup entries above: the
+    # wire-format/audit/offset/video/point-lookup/in-stream-DDL
+    # entries above: k3_html_render and k4_text_lines (r02 greens —
+    # one-expression render twins of k2_markdown_render, which STAYS
+    # in-window to certify the shared render scaffold; both untouched
+    # since round 2 and strict-PASS under tools/check_oracles on
+    # current code), plus the
     # former r03-green buffer (lsh_topk, cdc_txn_publish,
     # cdc_wap_publish — already driver-certified on round-3+ code),
     # w2_watermark_late_data (r03-green; its round-4 oracle hardening
@@ -5900,6 +6100,7 @@ _GATE_PRIORITY = [
     "o2_xy_cut_order",
     "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
     "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
+    "k3_html_render", "k4_text_lines",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
