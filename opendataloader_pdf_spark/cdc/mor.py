@@ -45,11 +45,20 @@ from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
 
 
 class MergeOnReadSink(ParquetMergeSink):
-    def __init__(self, *args, compact_ratio: float = 4.0, **kwargs):
+    def __init__(self, *args, compact_ratio: float = 4.0,
+                 bloom_bits: int = 0, bloom_k: int = 4, **kwargs):
         super().__init__(*args, **kwargs)
         #: compact() folds buckets whose delta rows exceed this multiple
         #: of their base rows (None/inf = only explicit compaction)
         self.compact_ratio = compact_ratio
+        #: per-delta bloom filters for point-read file skipping beyond
+        #: the key min/max range (cdc/bloom.py). 0 = off (default: the
+        #: extra narrow agg per merge is only worth paying on tables
+        #: that SERVE point reads); bits are stored per entry, so
+        #: geometry changes mid-table are safe — the prober hashes per
+        #: recorded geometry.
+        self.bloom_bits = bloom_bits
+        self.bloom_k = bloom_k
 
     # ----------------------------------------------------------------- read
 
@@ -74,6 +83,7 @@ class MergeOnReadSink(ParquetMergeSink):
         schema = self.current_schema()
         want = None if buckets is None else {str(b) for b in buckets}
         by_schema: dict[int, list[str]] = {}
+        candidates: list[dict] = []
         for b, ent in m["buckets"].items():
             if want is not None and b not in want:
                 continue
@@ -84,9 +94,11 @@ class MergeOnReadSink(ParquetMergeSink):
             for d in ent.get("deltas", []):
                 if keys is not None and not self._range_may_contain(d, keys):
                     continue
-                by_schema.setdefault(d["schema_id"], []).append(
-                    os.path.join(self.data_dir, d["path"])
-                )
+                candidates.append(d)
+        for d in self._bloom_prune(candidates, keys):
+            by_schema.setdefault(d["schema_id"], []).append(
+                os.path.join(self.data_dir, d["path"])
+            )
         parts: list[DataFrame] = []
         for sid, paths in sorted(by_schema.items()):
             file_schema = T.StructType.fromJson(json.loads(m["schemas"][str(sid)]))
@@ -107,6 +119,40 @@ class MergeOnReadSink(ParquetMergeSink):
         if with_bucket:
             df = self._bucketed(df)
         return df
+
+    def _bloom_prune(self, deltas: list[dict], keys) -> list[dict]:
+        """Drop candidate deltas whose bloom filter excludes EVERY probe
+        key (cdc/bloom.py). Probe positions are hashed once per bloom
+        geometry with the writer's own JVM hash expression — one
+        LocalTableScan job, no table scan; deltas without a bloom are
+        conservatively kept. No-op for full scans (keys is None)."""
+        if keys is None or not any("bloom" in d for d in deltas):
+            return deltas
+        from opendataloader_pdf_spark.cdc.bloom import (
+            may_contain,
+            probe_positions,
+        )
+
+        key_type = next(
+            f.dataType for f in self.current_schema().fields
+            if f.name == self.key
+        )
+        geoms = {(d["bloom"]["bits"], d["bloom"]["k"])
+                 for d in deltas if "bloom" in d}
+        pos = {
+            g: probe_positions(self.spark, list(keys), key_type, *g)
+            for g in geoms
+        }
+        out = []
+        for d in deltas:
+            bl = d.get("bloom")
+            if bl is None:
+                out.append(d)
+                continue
+            by_key = pos[(bl["bits"], bl["k"])]
+            if any(may_contain(bl, by_key[k]) for k in keys):
+                out.append(d)
+        return out
 
     @staticmethod
     def _range_may_contain(delta_ent: dict, keys: list) -> bool:
@@ -264,6 +310,15 @@ class MergeOnReadSink(ParquetMergeSink):
         )
         out.write.partitionBy("bucket").mode("overwrite").parquet(delta_dir)
 
+        blooms: dict[int, dict] = {}
+        if self.bloom_bits:
+            from opendataloader_pdf_spark.cdc.bloom import build_blooms
+
+            # one narrow (bucket, key) agg over the reduced batch —
+            # O(batch winners), bounded shuffle (≤ bloom_bits ints per
+            # bucket); the point-read file skip this buys is checked in
+            # _bloom_prune
+            blooms = build_blooms(ch, self.key, self.bloom_bits, self.bloom_k)
         for b in affected:
             dpath = os.path.join(delta_dir, f"bucket={b}")
             if not os.path.isdir(dpath):
@@ -279,6 +334,8 @@ class MergeOnReadSink(ParquetMergeSink):
             rng = self._dir_key_range(dpath)
             if rng is not None:
                 dent["key_min"], dent["key_max"] = rng
+            if b in blooms:
+                dent["bloom"] = blooms[b]
             ent.setdefault("deltas", []).append(dent)
         m["snapshot_id"] = sid
         m["batch_id"] = batch_id

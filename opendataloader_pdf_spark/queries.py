@@ -6044,6 +6044,101 @@ def cdc_ddl_timeline(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_bloom_lookup",
+    """
+    WITH ch AS (
+      SELECT 'd' || ((user_id % 200) * 2)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             event_type AS source,
+             (event_id % 17 + 1)::INT AS n_tok
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(source, lsn) AS source, arg_max(n_tok, lsn) AS n_tok
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, source, lsn, n_tok
+    FROM s WHERE op != 'delete'
+      AND doc_id IN ('d0', 'd2', 'd10', 'd26', 'd42', 'd74', 'd90',
+                     'd110', 'd148', 'd166', 'd200', 'd234', 'd250',
+                     'd298', 'd312', 'd340', 'd366', 'd398',
+                     'd3', 'd99', 'd151')
+    """,
+    doc="Point lookup with per-delta BLOOM file skipping (cdc/bloom.py "
+        "+ MergeOnReadSink bloom_bits — the Iceberg v2 "
+        "write.parquet.bloom-filter move lifted to the manifest): every "
+        "stored doc_id has an EVEN numeric suffix, so an odd-suffix "
+        "probe like 'd151' falls INSIDE every delta's footer key range "
+        "(min/max pruning is provably useless for it) but is absent — "
+        "only the bloom can skip the file. Runtime-asserts that every "
+        "delta carries a bloom, that at least one range-containing "
+        "delta was bloom-skipped for the absent key, and that the "
+        "absent-key scan opened zero delta files. The returned frame is "
+        "a mixed present/absent key lookup; the oracle is the "
+        "declarative LWW state filtered to the same keys — equal iff "
+        "the bloom never false-negatives a present version out of the "
+        "fold. The 100 TB shape: serving-point-read tables pay one "
+        "narrow O(batch) agg per merge to make absent-key reads "
+        "O(bloom tests) instead of O(range-overlapping files).",
+)
+def cdc_bloom_lookup(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import MergeOnReadSink, ReplayEngine
+
+    ev = _t(spark, sf_dir, "events")
+    thr = int(ev.agg(F.max("event_id")).collect()[0][0]) // 2 + 1
+    ch = ev.select(
+        F.concat(F.lit("d"),
+                 ((F.col("user_id") % 200) * 2).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 11).cast("int")).alias("tokens"),
+        (F.col("event_id") % 17 + 1).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    root = _engine_workdir("bloom_catalog", sf_dir)
+    sink = MergeOnReadSink(spark, root, n_buckets=8, bloom_bits=8192)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch, batch_size=thr)
+
+    deltas = [d for e in sink.manifest()["buckets"].values()
+              for d in e.get("deltas", [])]
+    if not deltas or not all("bloom" in d for d in deltas):
+        raise AssertionError("writer failed to record delta blooms")
+
+    absent = "d151"  # odd suffix: inside every range, in no delta
+    in_range = [d for d in deltas
+                if d["key_min"] <= absent <= d["key_max"]]
+    if not in_range:
+        raise AssertionError(
+            "probe key fell outside all delta ranges — range pruning "
+            "alone would explain the skip, the bloom is untested"
+        )
+    probe = sink.lookup([absent])
+    if probe.count() != 0:
+        raise AssertionError(f"{absent} unexpectedly present")
+    opened = probe.inputFiles()
+    for d in in_range:
+        if any(d["path"] + "/" in f for f in opened):
+            raise AssertionError(
+                f"bloom failed to skip range-containing delta {d['path']}"
+            )
+
+    keys = ["d0", "d2", "d10", "d26", "d42", "d74", "d90",
+            "d110", "d148", "d166", "d200", "d234", "d250",
+            "d298", "d312", "d340", "d366", "d398",
+            "d3", "d99", "d151"]
+    return sink.lookup(keys).select("doc_id", "source", "lsn", "n_tok")
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6063,6 +6158,7 @@ _GATE_PRIORITY = [
     "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
     "multimodal_video_decode", "o2_xy_cut_checkable",
     "cdc_point_lookup", "cdc_ddl_stream", "cdc_ddl_timeline",
+    "cdc_bloom_lookup",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -6076,7 +6172,7 @@ _GATE_PRIORITY = [
     "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
     "j2_proximity_score", "j3_rank_k_repeats", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render",
-    "cdc_lineage_metrics", "w1_windowed_activity",
+    "cdc_lineage_metrics",
     # Displaced past the ~50-row window to make room for the new
     # wire-format/audit/offset/video/point-lookup/in-stream-DDL
     # entries above: k3_html_render and k4_text_lines (r02 greens —
@@ -6101,6 +6197,11 @@ _GATE_PRIORITY = [
     "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
     "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
     "k3_html_render", "k4_text_lines",
+    # w1_windowed_activity (r02 green; its lateness/finality sibling
+    # w2 carries the streaming risk and w1's tumbling-window agg is
+    # pinned by tests/test_streaming_windows + check_oracles on
+    # current code) — displaced for the brand-new cdc_bloom_lookup
+    "w1_windowed_activity",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
