@@ -30,6 +30,7 @@ from opendataloader_pdf_spark.cdc.maintenance import (  # noqa: F401
     schema_at,
     tag,
     tags,
+    vacuum_tombstones,
 )
 from opendataloader_pdf_spark.cdc.wap import (  # noqa: F401
     abort as abort_staged,

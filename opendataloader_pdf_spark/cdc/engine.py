@@ -70,6 +70,11 @@ class ReplaySummary:
     batches: list[dict] = field(default_factory=list)
     #: malformed events diverted to the dead-letter table (quarantine mode)
     quarantined: int = 0
+    #: events at or below the sink's vacuum_floor (delete-retention
+    #: horizon) — beyond retention, diverted to _retention_expired:
+    #: their tombstone counterparts were physically vacuumed, so
+    #: applying them could resurrect deleted keys
+    expired: int = 0
 
     @property
     def events(self) -> int:
@@ -196,6 +201,37 @@ class ReplayEngine:
             # fail before any batch commits, not mid-replay on the first
             # invalid row (streaming tail applies the same eager check)
             self._quarantine_dir(0)
+        # delete-retention enforcement: once vacuum_tombstones recorded a
+        # floor, events at or below it are beyond retention — their
+        # tombstones are physically gone, so a stale update down there
+        # would find no row (and no LSN guard) and silently resurrect a
+        # deleted key. Divert them upfront (ONE narrow scan of a
+        # near-empty-by-contract predicate) so every downstream slice,
+        # probe, and audit stat sees only admissible events. Idempotent:
+        # the dead-letter dir is a deterministic overwrite of the
+        # immutable log ∩ floor.
+        n_expired = 0
+        floor = (
+            self.sink.manifest().get("vacuum_floor", -1)
+            if self.sink.exists() else -1
+        )
+        if floor >= 0:
+            expired_cond = F.col(self.sink.order) <= F.lit(floor)
+            exp = events.filter(expired_cond)
+            n_expired = exp.count()
+            if n_expired:
+                root = getattr(self.sink, "root", None)
+                if root is None:
+                    raise ValueError(
+                        "events below the vacuum_floor found but the sink "
+                        "has no .root for the _retention_expired table"
+                    )
+                exp.write.mode("overwrite").parquet(
+                    os.path.join(root, "_retention_expired")
+                )
+            events = events.filter(
+                F.col(self.sink.order).isNull() | ~expired_cond
+            )
         # quarantine mode: a malformed row must not size the batch loop
         # either — one corrupt delivery_seq of 10^15 would otherwise make
         # n_batches astronomical and replay commit empty slots forever
@@ -206,7 +242,7 @@ class ReplayEngine:
             F.min("delivery_seq").alias("lo"), F.max("delivery_seq").alias("hi")
         ).collect()[0]
         if bounds["hi"] is None:
-            summary = ReplaySummary()
+            summary = ReplaySummary(expired=n_expired)
             if self.quarantine:
                 # no valid event exists — dead-letter every malformed row
                 # (the whole log, if nonempty) rather than silently skip
@@ -254,7 +290,7 @@ class ReplayEngine:
             head = self._pending_head()
             if head >= 0:
                 start = min(start, head + 1)
-        summary = ReplaySummary()
+        summary = ReplaySummary(expired=n_expired)
         done = 0
         # NARROW upfront probe — ONE column-pruned scan over the remaining
         # log (key, op, schema_version; token arrays are never read)

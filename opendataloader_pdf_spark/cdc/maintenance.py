@@ -298,3 +298,105 @@ def remove_orphans(sink: ParquetMergeSink) -> int:
             n += 1
         os.rmdir(full)
     return n
+
+
+def vacuum_tombstones(sink: ParquetMergeSink, floor: int,
+                      compact_first: bool = False) -> dict:
+    """Physically remove tombstones with ``lsn <= floor`` — the delete-
+    retention operation (Kafka log-compaction's ``delete.retention.ms``,
+    Iceberg's delete-file expiry) a 10^10-event delete-churn stream
+    needs: tombstones exist only to out-rank LATE stale events for their
+    key, and under the bounded-disorder delivery contract no event with
+    ``lsn <= watermark - disorder_window`` can still arrive — tombstones
+    at or below that line are dead weight forever.
+
+    Contract: ``floor`` must respect the disorder bound (caller passes
+    ``applied_watermark - disorder_window``). The floor is recorded in
+    the manifest (monotonic — a lower re-vacuum is a no-op) and the
+    ReplayEngine ENFORCES it from then on: any arriving event with
+    ``lsn <= vacuum_floor`` is beyond retention and dead-letters to
+    ``_retention_expired`` instead of applying — without that guard, a
+    stale update for a vacuumed key would find no row (and no tombstone
+    to out-rank it) and silently resurrect the deleted document.
+
+    Copy-on-write: rewrites ONLY buckets that actually hold removable
+    tombstones (one narrow ``(_deleted, lsn, bucket)`` scan finds them);
+    untouched buckets keep their files. Merge-on-read: a delta tombstone
+    masks base-file rows, so dropping it without folding first would
+    resurrect those rows — buckets with live deltas are refused unless
+    ``compact_first=True`` folds them. Maintenance commit (no batch_id),
+    same as compaction/rescale; time travel across it works.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    if os.path.exists(os.path.join(sink.meta_dir, "STAGE")):
+        raise ValueError(
+            "a staged (WAP) chain exists — publish or abort it before "
+            "vacuuming; staged and HEAD commits share the manifest "
+            "namespace"
+        )
+    m = sink.manifest()
+    prev_floor = m.get("vacuum_floor", -1)
+    if floor <= prev_floor:
+        return {"snapshot_id": m["snapshot_id"], "removed": 0,
+                "buckets": [], "floor": prev_floor, "noop": True}
+
+    delta_buckets = sorted(
+        int(b) for b, ent in m["buckets"].items() if ent.get("deltas")
+    )
+    if delta_buckets:
+        if not compact_first:
+            raise ValueError(
+                f"buckets {delta_buckets} hold delta files whose "
+                f"tombstones mask base rows — vacuum would resurrect "
+                f"them; compact first (or pass compact_first=True)"
+            )
+        sink.compact(buckets=delta_buckets)
+        m = sink.manifest()
+
+    # ONE narrow scan (bucket, _deleted, lsn — column-pruned) finds the
+    # buckets that actually hold removable tombstones
+    full = sink.read(with_bucket=True, include_deleted=True)
+    dead = F.coalesce(F.col("_deleted"), F.lit(False)) & (
+        F.col(sink.order) <= F.lit(floor)
+    )
+    counts = (
+        full.select("bucket", dead.alias("_dead"))
+        .filter(F.col("_dead"))
+        .groupBy("bucket").count().collect()
+    )
+    todo = sorted(int(r["bucket"]) for r in counts)
+    removed = int(sum(r["count"] for r in counts))
+    sid = m["snapshot_id"] + 1
+    if todo:
+        snap_rel = f"vac-{sid}"
+        snap_dir = os.path.join(sink.data_dir, snap_rel)
+        table_cols = [f.name for f in sink.current_schema().fields]
+        kept = (
+            sink.read(buckets=todo, with_bucket=True, include_deleted=True)
+            .filter(~dead)
+            .select(*table_cols, "_deleted", "bucket")
+        )
+        (
+            kept.repartition(len(todo), "bucket")
+            .sortWithinPartitions(sink.key)
+            .write.partitionBy("bucket").mode("overwrite").parquet(snap_dir)
+        )
+        for b in todo:
+            d = os.path.join(snap_dir, f"bucket={b}")
+            if os.path.isdir(d):
+                m["buckets"][str(b)] = {"path": f"{snap_rel}/bucket={b}",
+                                        "schema_id": m["schema_id"],
+                                        "rows": sink._dir_rows(d)}
+            else:  # every row in the bucket was a removable tombstone
+                m["buckets"].pop(str(b), None)
+    m["snapshot_id"] = sid
+    m["vacuum_floor"] = floor
+    rec = {"batch_id": None, "snapshot_id": sid, "buckets": todo,
+           "vacuum_floor": floor, "removed": removed,
+           "wall_ts": _time.time()}
+    m["commits"].append(rec)
+    sink._commit(m)
+    return rec

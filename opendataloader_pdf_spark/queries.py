@@ -6139,6 +6139,120 @@ def cdc_bloom_lookup(spark, sf_dir):
     return sink.lookup(keys).select("doc_id", "source", "lsn", "n_tok")
 
 
+@register(
+    "cdc_vacuum_retention",
+    f"""
+    WITH mx AS (SELECT max(event_id) AS m FROM events),
+    a AS (
+      SELECT 'd' || (user_id % 350)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 103)::INT, (user_id % 59)::INT] AS tokens
+      FROM events
+    ), bf AS (
+      SELECT 'd' || (user_id % 350)::VARCHAR AS doc_id,
+             event_id + (SELECT m FROM mx) AS lsn,
+             'update' AS op,
+             [(event_id % 71)::INT, 5::INT] AS tokens
+      FROM events WHERE event_id % 3 = 0
+    ), allev AS (
+      SELECT * FROM a UNION ALL SELECT * FROM bf
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn,
+             arg_max(op, lsn) AS op, arg_max(tokens, lsn) AS tokens
+      FROM allev GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Tombstone retention vacuum + engine floor enforcement "
+        "(cdc/maintenance.vacuum_tombstones — Kafka delete.retention / "
+        "Iceberg delete-file-expiry analog): replay a delete-churn "
+        "stream, physically vacuum every tombstone at or below the "
+        "applied watermark (runtime-asserts removed>0 and zero "
+        "tombstones remain in storage), then replay a second tranche "
+        "that interleaves fresh updates with RETRANSMITTED sub-floor "
+        "events — exact duplicates of first-tranche events whose "
+        "tombstones are now gone. Without the recorded vacuum_floor the "
+        "stale update of a vacuumed deleted doc would find no row and "
+        "no LSN guard and silently resurrect it; the engine must "
+        "dead-letter every sub-floor event to _retention_expired "
+        "(runtime-asserts expired>0). The oracle is the LWW state over "
+        "first tranche + fresh tranche only — equal iff no vacuumed "
+        "key was resurrected and no admissible event was dropped.",
+)
+def cdc_vacuum_retention(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        vacuum_tombstones,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    a = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 350).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 103).cast("int"),
+                (F.col("user_id") % 59).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    root = _engine_workdir("vacuum_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(a, batch_size=mx // 2 + 1)
+
+    rec = vacuum_tombstones(sink, floor=mx)
+    n_tomb = (
+        sink.read(include_deleted=True)
+        .filter(F.coalesce(F.col("_deleted"), F.lit(False))).count()
+    )
+    if rec["removed"] == 0 or n_tomb != 0:
+        raise AssertionError(
+            f"vacuum ineffective: removed={rec['removed']}, "
+            f"tombstones left={n_tomb}"
+        )
+
+    # fresh tranche (lsn > floor) + retransmissions of first-tranche
+    # events at fresh delivery positions but their ORIGINAL sub-floor
+    # lsns — the post-retention redelivery case
+    b_fresh = a.filter(F.col("lsn") % 3 == 0).select(
+        "doc_id",
+        (F.col("lsn") + mx).alias("lsn"),
+        F.lit("update").alias("op"),
+        F.array((F.col("lsn") % 71).cast("int"),
+                F.lit(5).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        "source", "schema_version", "ts",
+        (F.col("delivery_seq") + mx).alias("delivery_seq"),
+    )
+    b_stale = a.filter(F.col("lsn") % 89 == 0).withColumn(
+        "delivery_seq", F.col("delivery_seq") + F.lit(2 * mx)
+    )
+    summary = ReplayEngine(spark, sink).replay(
+        b_fresh.unionByName(b_stale), batch_size=mx // 2 + 1
+    )
+    if summary.expired == 0:
+        raise AssertionError("no sub-floor event was retention-expired")
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6158,7 +6272,7 @@ _GATE_PRIORITY = [
     "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
     "multimodal_video_decode", "o2_xy_cut_checkable",
     "cdc_point_lookup", "cdc_ddl_stream", "cdc_ddl_timeline",
-    "cdc_bloom_lookup",
+    "cdc_bloom_lookup", "cdc_vacuum_retention",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -6172,7 +6286,6 @@ _GATE_PRIORITY = [
     "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
     "j2_proximity_score", "j3_rank_k_repeats", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render",
-    "cdc_lineage_metrics",
     # Displaced past the ~50-row window to make room for the new
     # wire-format/audit/offset/video/point-lookup/in-stream-DDL
     # entries above: k3_html_render and k4_text_lines (r02 greens —
@@ -6200,8 +6313,12 @@ _GATE_PRIORITY = [
     # w1_windowed_activity (r02 green; its lateness/finality sibling
     # w2 carries the streaming risk and w1's tumbling-window agg is
     # pinned by tests/test_streaming_windows + check_oracles on
-    # current code) — displaced for the brand-new cdc_bloom_lookup
-    "w1_windowed_activity",
+    # current code) — displaced for the brand-new cdc_bloom_lookup;
+    # cdc_lineage_metrics (r02 green; the audit/lineage write path it
+    # gates runs inside EVERY engine-replay entry above and is
+    # asserted per-batch by tests/test_replay_smoke + test_mor_sink)
+    # — displaced for the brand-new cdc_vacuum_retention
+    "w1_windowed_activity", "cdc_lineage_metrics",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
