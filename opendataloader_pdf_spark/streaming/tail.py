@@ -80,6 +80,17 @@ def tail_available_now(
             "quarantine=True but the sink has no .root to hold the "
             "dead-letter table"
         )
+    # delete-retention parity with ReplayEngine: once vacuum_tombstones
+    # recorded a floor, sub-floor events must dead-letter (their
+    # tombstones are physically gone — applying one could resurrect a
+    # deleted key). Read once at tail start: the floor only moves via
+    # maintenance, which requires quiesced writers.
+    vac_floor = sink.manifest().get("vacuum_floor", -1) if sink.exists() else -1
+    if vac_floor >= 0 and not getattr(sink, "root", None):
+        raise ValueError(
+            "sink has a vacuum_floor but no .root for the "
+            "_retention_expired table"
+        )
     applied: list[int] = []
     pending_store = (
         PendingStore(spark, os.path.join(sink.root, "_pending"), key=sink.key)
@@ -91,6 +102,19 @@ def tail_available_now(
 
         from opendataloader_pdf_spark.cdc.events import invalid_event_cond
 
+        if vac_floor >= 0:
+            # one narrow scan of a near-empty-by-contract predicate;
+            # per-epoch overwrite dir keeps the dead-letter exactly-once
+            # under checkpoint replay of a failed epoch
+            exp_cond = F.col(sink.order) <= F.lit(vac_floor)
+            if batch_df.filter(exp_cond).limit(1).count():
+                batch_df.filter(exp_cond).write.mode("overwrite").parquet(
+                    os.path.join(sink.root, "_retention_expired",
+                                 f"batch=s{batch_id}")
+                )
+                batch_df = batch_df.filter(
+                    F.col(sink.order).isNull() | ~exp_cond
+                )
         patchable = has_patch_columns(batch_df) and pending_store is not None
         pending_prev, pending_n = (
             pending_store.read() if patchable else (None, 0)

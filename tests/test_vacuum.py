@@ -130,3 +130,49 @@ def test_vacuum_refused_under_staged_chain(spark, tmp_path):
     begin_staged(sink)
     with pytest.raises(ValueError, match="staged"):
         vacuum_tombstones(sink, floor=2)
+
+
+def test_streaming_tail_enforces_floor(spark, tmp_path):
+    """The Structured Streaming tail must apply the same retention
+    floor as the batch engine: sub-floor retransmissions dead-letter
+    per epoch instead of resurrecting vacuumed keys."""
+    from opendataloader_pdf_spark.datagen import EVENT_SCHEMA
+    from opendataloader_pdf_spark.streaming import tail_available_now
+
+    import datetime
+
+    ts0 = datetime.datetime(2026, 1, 1)
+
+    def _row(d, lsn, op, toks, seq):
+        return (lsn, d, op, toks, len(toks) if toks else None, "s", None,
+                1, ts0, seq, None, None)
+
+    from opendataloader_pdf_spark.cdc.engine import default_registry
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), n_buckets=2)
+    sink.initialize(None, default_registry()[1])
+    ev_dir = str(tmp_path / "stream")
+    ckpt = str(tmp_path / "ckpt")
+    # the tail is the sink's ONLY writer (epoch ids come from its own
+    # checkpoint): feed it, vacuum between runs, feed it the
+    # retransmissions
+    spark.createDataFrame(
+        [_row("a", 1, "update", [1], 1), _row("a", 5, "delete", None, 5),
+         _row("b", 3, "update", [2], 3)],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(ev_dir)
+    tail_available_now(spark, ev_dir, sink, ckpt)
+    vacuum_tombstones(sink, floor=5)
+
+    spark.createDataFrame(
+        [_row("a", 2, "update", [9], 150),    # sub-floor — must expire
+         _row("b", 8, "update", [2, 2], 151)],
+        EVENT_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(ev_dir)
+    tail_available_now(spark, ev_dir, sink, ckpt)
+
+    got = sorted((r["doc_id"], r["lsn"]) for r in sink.read().collect())
+    assert got == [("b", 8)], f"resurrected via stream: {got}"
+    exp = spark.read.parquet(
+        os.path.join(sink.root, "_retention_expired"))
+    assert [(r["doc_id"], r["lsn"]) for r in exp.collect()] == [("a", 2)]
