@@ -176,3 +176,26 @@ def test_streaming_tail_enforces_floor(spark, tmp_path):
     exp = spark.read.parquet(
         os.path.join(sink.root, "_retention_expired"))
     assert [(r["doc_id"], r["lsn"]) for r in exp.collect()] == [("a", 2)]
+
+
+def test_changelog_spans_vacuum_cleanly(spark, tmp_path):
+    """changes_between across a vacuum commit must report NOTHING for
+    the vacuum itself (tombstone removal is not a row change a replica
+    should apply) and exactly the later batch's changes when the span
+    extends past it."""
+    from opendataloader_pdf_spark.cdc import changes_between
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), n_buckets=4)
+    _replay(spark, sink, [("a", 1, "update", [1]), ("a", 5, "delete", None),
+                          ("b", 3, "update", [2]), ("c", 4, "update", [3])])
+    pre = sink.snapshot_id()
+    vacuum_tombstones(sink, floor=5)
+    post_vac = sink.snapshot_id()
+    assert changes_between(sink, pre, post_vac).count() == 0
+
+    ReplayEngine(spark, sink).replay(
+        _events(spark, [("b", 9, "update", [7, 7], 150),
+                        ("e", 10, "update", [8], 151)]), batch_size=100)
+    ch = {(r["doc_id"], r["_change_type"])
+          for r in changes_between(sink, pre).collect()}
+    assert ch == {("b", "update"), ("e", "insert")}, ch
