@@ -264,9 +264,15 @@ def replay_ddl_stream(
     from opendataloader_pdf_spark.cdc.engine import ReplayEngine, default_registry
 
     base = base_schema or default_registry()[1]
-    timeline = collect_timeline(parse_ddl(events.filter(F.col("op") == "ddl"),
-                                          ddl_col=ddl_col))
-    data = events.filter(F.col("op") != "ddl").drop(ddl_col)
+    if ddl_col in events.columns:
+        timeline = collect_timeline(
+            parse_ddl(events.filter(F.col("op") == "ddl"), ddl_col=ddl_col)
+        )
+        data = events.filter(F.col("op") != "ddl").drop(ddl_col)
+    else:
+        # no DDL channel in this stream — empty timeline, plain replay
+        timeline = []
+        data = events
     n_premature = 0
     bad_cond = premature_cond(timeline, data.columns)
     if bad_cond is not None:

@@ -87,6 +87,10 @@ AUDITED = [
     "cdc_lsn_gap_audit",
     "cdc_point_lookup",
     "o2_xy_cut_checkable",
+    "cdc_ddl_stream",
+    "cdc_ddl_timeline",
+    "cdc_bloom_lookup",
+    "cdc_vacuum_retention",
 ]
 
 

@@ -81,6 +81,16 @@ def main() -> None:
                    help="BEFORE the replay, rewrite the table under this "
                         "bucket count (partition evolution; quiesce other "
                         "writers first)")
+    p.add_argument("--ddl-stream", action="store_true",
+                   help="the event stream carries op='ddl' schema-change "
+                        "rows (ALTER TABLE ... in a `ddl` column); parse "
+                        "the timeline, derive per-row schema versions "
+                        "from LSN, dead-letter premature column use")
+    p.add_argument("--vacuum-floor", type=int, default=None,
+                   help="after replay, physically remove tombstones with "
+                        "lsn <= FLOOR and record the retention floor "
+                        "(future sub-floor events dead-letter; pass "
+                        "applied_watermark - disorder_window)")
     p.add_argument("--gen-events", type=int, default=None,
                    help="generate a synthetic stream of this many events first")
     p.add_argument("--gen-docs", type=int, default=10_000)
@@ -147,6 +157,19 @@ def main() -> None:
             abort_staged(sink)
             raise
         publish(sink)
+    elif a.ddl_stream:
+        from opendataloader_pdf_spark.cdc import replay_ddl_stream
+
+        summary, timeline, n_premature = replay_ddl_stream(
+            spark, sink, events, batch_size=a.batch_size,
+            salted=a.salted, reduce_strategy=a.reduce_strategy,
+            quarantine=a.quarantine,
+        )
+        print(json.dumps({
+            "ddl_timeline": [[d.lsn, d.action, d.column, d.dtype]
+                             for d in timeline],
+            "premature_quarantined": n_premature,
+        }))
     else:
         summary = engine.replay(events, batch_size=a.batch_size)
 
@@ -161,10 +184,16 @@ def main() -> None:
     if a.mor and a.compact:
         compacted = sink.compact()
         print(json.dumps({"compacted_buckets": compacted}))
+    if a.vacuum_floor is not None:
+        from opendataloader_pdf_spark.cdc import vacuum_tombstones
+
+        print(json.dumps({"vacuum": vacuum_tombstones(
+            sink, a.vacuum_floor, compact_first=a.mor)}))
     print(json.dumps({
         "events": summary.events,
         "applied": summary.applied,
         "quarantined": summary.quarantined,
+        "expired": summary.expired,
         "batches": len(summary.batches),
         "secs": round(summary.elapsed, 3),
         "events_per_sec": round(summary.events / max(summary.elapsed, 1e-9), 1),
