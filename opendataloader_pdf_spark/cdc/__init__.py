@@ -60,3 +60,6 @@ from opendataloader_pdf_spark.cdc.changelog import (  # noqa: F401
     apply_delta_state,
     follow_changes,
 )
+from opendataloader_pdf_spark.cdc.redrive import (  # noqa: F401
+    redrive_quarantine,
+)
