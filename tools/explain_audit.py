@@ -91,6 +91,7 @@ AUDITED = [
     "cdc_ddl_timeline",
     "cdc_bloom_lookup",
     "cdc_vacuum_retention",
+    "cdc_quarantine_redrive",
 ]
 
 
