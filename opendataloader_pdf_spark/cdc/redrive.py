@@ -136,7 +136,20 @@ def redrive_quarantine(
                              f"commit={bid}"))
         fixed = fixed.filter(~expired_cond)
 
-    drop = [c for c in _NON_PAYLOAD + ("delivery_seq",)
+    if "patch_start" in fixed.columns:
+        n_patch = fixed.filter(F.col("op") == "patch").count()
+        if n_patch:
+            # a splice applies onto the CURRENT row via the engine's
+            # LSN-fold, not a plain LWW merge — re-driving one here would
+            # overwrite the full token array with the splice payload
+            raise ValueError(
+                f"{n_patch} repaired rows carry op='patch'; re-drive "
+                "patch events through ReplayEngine against the live "
+                "stream ordering instead (a bare MERGE would clobber "
+                "the spliced arrays)"
+            )
+    drop = [c for c in
+            _NON_PAYLOAD + ("delivery_seq", "patch_start", "patch_del")
             if c in fixed.columns]
     red = reduce_batch(fixed.drop(*drop))
     n_fixed = red.count()

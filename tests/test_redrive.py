@@ -168,3 +168,36 @@ def test_redrive_empty_quarantine_is_noop(spark, tmp_path):
     ReplayEngine(spark, sink).bootstrap(None)
     out = redrive_quarantine(spark, sink)
     assert out["read"] == 0 and out["batch_id"] is None
+
+
+def test_redrive_consumes_streaming_tail_quarantine(spark, tmp_path):
+    """The streaming tail dead-letters under batch=s<epoch> (string
+    partition values); the re-drive must read that layout, repair, and
+    converge the shared sink — batch/streaming quarantine parity."""
+    from pyspark.sql import types as T
+
+    from opendataloader_pdf_spark.datagen import EVENT_SCHEMA
+    from opendataloader_pdf_spark.streaming import tail_available_now
+
+    relaxed = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in EVENT_SCHEMA.fields]
+    )
+    rows = [
+        (10, "a", "update", [1], 1, "s", None, 1, None, 10, None, None),
+        (20, "b", "upsert", [2], 1, "s", None, 1, None, 20, None, None),
+        (30, "a", "update", [1, 1], 2, "s", None, 1, None, 30, None, None),
+        (40, "z", "bogus", [7], 1, "s", None, 1, None, 40, None, None),
+    ]
+    src = str(tmp_path / "log")
+    spark.createDataFrame(rows, relaxed).coalesce(1).write.parquet(src)
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), n_buckets=4)
+    ReplayEngine(spark, sink).bootstrap(None)
+    tail_available_now(spark, src, sink, str(tmp_path / "ckpt"),
+                       event_schema=relaxed, quarantine=True)
+    assert _state(sink) == [("a", 30, (1, 1))]
+
+    out = redrive_quarantine(spark, sink, repair=_repair)
+    assert out["read"] == 2 and out["repaired"] == 1
+    assert out["still_bad"] == 1
+    assert _state(sink) == [("a", 30, (1, 1)), ("b", 20, (2,))]
