@@ -6367,6 +6367,104 @@ def cdc_quarantine_redrive(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_mor_compact",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 340)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 127)::INT, (user_id % 61)::INT] AS tokens
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Merge-on-read delta compaction as a mid-stream maintenance "
+        "commit (cdc/mor.py compact — the Iceberg rewrite_data_files "
+        "analog): replay the first tranche in 3 batches onto a "
+        "MergeOnReadSink (append-only O(batch) delta commits), "
+        "runtime-assert delta pressure exists, COMPACT (fold deltas "
+        "into the base, snapshot-committed), runtime-assert pressure "
+        "cleared and the table fingerprint (count + fp/lsn sums) is "
+        "bit-identical across the fold, then CONTINUE replaying the "
+        "second tranche onto the compacted table. Oracle = LWW over "
+        "the whole stream — equal iff compaction neither lost nor "
+        "reordered a version and post-compaction ingest still lands. "
+        "At 100 TB this is the background maintenance job that keeps "
+        "read amplification bounded while the stream never stops.",
+)
+def cdc_mor_compact(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import MergeOnReadSink, ReplayEngine
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 340).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 127).cast("int"),
+                (F.col("user_id") % 61).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    # the tranche split MUST sit on a batch boundary: resume math is in
+    # fixed batch_size units, so a mid-slot split would strand the tail
+    # of the last committed slot
+    bs = (mx // 2 + 1) // 3 + 1
+    split = 3 * bs
+    root = _engine_workdir("mor_compact_catalog", sf_dir)
+    sink = MergeOnReadSink(spark, root, n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch.filter(F.col("delivery_seq") < split), batch_size=bs)
+
+    if not sink.delta_pressure():
+        raise AssertionError("no delta files before compaction — the "
+                             "scenario lost its point")
+
+    def _fingerprint():
+        # modular sum — raw fp values are ~2^62 and would overflow a
+        # LONG sum under ANSI mode
+        return tuple(
+            sink.read(include_deleted=True).agg(
+                F.count(F.lit(1)),
+                F.sum(F.pmod(TK.token_fingerprint(F.col("tokens")),
+                             F.lit(2147483647))),
+                F.sum("lsn"),
+            ).collect()[0]
+        )
+
+    before = _fingerprint()
+    if not sink.compact():
+        raise AssertionError("compaction compacted nothing")
+    if sink.delta_pressure():
+        raise AssertionError("delta pressure survived compaction")
+    if _fingerprint() != before:
+        raise AssertionError("compaction changed table state")
+
+    # the stream never stops: second tranche lands on the compacted table
+    eng.replay(ch.filter(F.col("delivery_seq") >= split), batch_size=bs)
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
