@@ -92,6 +92,7 @@ AUDITED = [
     "cdc_bloom_lookup",
     "cdc_vacuum_retention",
     "cdc_quarantine_redrive",
+    "cdc_mor_compact",
 ]
 
 
