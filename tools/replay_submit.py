@@ -91,6 +91,17 @@ def main() -> None:
                         "lsn <= FLOOR and record the retention floor "
                         "(future sub-floor events dead-letter; pass "
                         "applied_watermark - disorder_window)")
+    p.add_argument("--redrive", action="store_true",
+                   help="after replay (and vacuum, if any), repair and "
+                        "re-inject <table>/_quarantine exactly-once; "
+                        "combine with --redrive-map-op / "
+                        "--redrive-fill-seq to describe the repair")
+    p.add_argument("--redrive-map-op", action="append", default=[],
+                   metavar="FROM=TO",
+                   help="re-drive repair: rewrite op FROM to TO "
+                        "(repeatable; e.g. upsert=update)")
+    p.add_argument("--redrive-fill-seq", action="store_true",
+                   help="re-drive repair: fill null delivery_seq from lsn")
     p.add_argument("--gen-events", type=int, default=None,
                    help="generate a synthetic stream of this many events first")
     p.add_argument("--gen-docs", type=int, default=10_000)
@@ -189,6 +200,28 @@ def main() -> None:
 
         print(json.dumps({"vacuum": vacuum_tombstones(
             sink, a.vacuum_floor, compact_first=a.mor)}))
+    if a.redrive:
+        from pyspark.sql import functions as F
+
+        from opendataloader_pdf_spark.cdc import redrive_quarantine
+
+        op_map = dict(kv.split("=", 1) for kv in a.redrive_map_op)
+
+        def _repair(q):
+            if op_map:
+                expr = F.col("op")
+                for src, dst in op_map.items():
+                    expr = F.when(F.col("op") == src, F.lit(dst)).otherwise(expr)
+                q = q.withColumn("op", expr)
+            if a.redrive_fill_seq:
+                q = q.withColumn(
+                    "delivery_seq",
+                    F.coalesce(F.col("delivery_seq"), F.col("lsn")))
+            return q
+
+        repair = _repair if (op_map or a.redrive_fill_seq) else None
+        print(json.dumps({"redrive": redrive_quarantine(
+            spark, sink, repair=repair)}))
     print(json.dumps({
         "events": summary.events,
         "applied": summary.applied,
