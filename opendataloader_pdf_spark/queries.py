@@ -6465,6 +6465,89 @@ def cdc_mor_compact(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_replica_sync",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 330)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 131)::INT, (user_id % 53)::INT] AS tokens
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Downstream replication through the REAL changelog consumer "
+        "(cdc/changelog.py changes_between + apply_changes — the CDF "
+        "replication pair): replay tranche 1 upstream, snapshot s1, "
+        "replay tranche 2; the replica bootstraps from the 0→s1 span, "
+        "then applies the s1→HEAD span — two idempotent LSN-guarded "
+        "commits driven entirely by bucket-pruned manifest diffs, never "
+        "a full upstream copy. Runtime-asserts re-applying the second "
+        "span is a no-op (exactly-once under consumer retries). The "
+        "oracle is the upstream LWW state — equal iff the changelog "
+        "carried every net change and the replica applied exactly "
+        "those. Returns the REPLICA's state, so any divergence fails "
+        "the hash.",
+)
+def cdc_replica_sync(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        apply_changes,
+        changes_between,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 330).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 131).cast("int"),
+                (F.col("user_id") % 53).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    bs = (mx // 2 + 1) // 2 + 1
+    split = 2 * bs  # batch-boundary-aligned tranche split
+    root = _engine_workdir("replica_catalog", sf_dir)
+    up = ParquetMergeSink(spark, root + "_up", n_buckets=16)
+    up.drop()
+    eng = ReplayEngine(spark, up)
+    eng.bootstrap(None)
+    eng.replay(ch.filter(F.col("delivery_seq") < split), batch_size=bs)
+    s1 = up.snapshot_id()
+    eng.replay(ch.filter(F.col("delivery_seq") >= split), batch_size=bs)
+
+    replica = ParquetMergeSink(spark, root + "_dn", n_buckets=16)
+    replica.drop()
+    replica.initialize(None, up.current_schema())
+    apply_changes(changes_between(up, 0, s1), replica, batch_id=0)
+    span2 = changes_between(up, s1)
+    apply_changes(span2, replica, batch_id=1)
+    if apply_changes(span2, replica, batch_id=1) is not None:
+        raise AssertionError("re-applying a consumed span was not a no-op")
+
+    return replica.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

@@ -93,6 +93,7 @@ AUDITED = [
     "cdc_vacuum_retention",
     "cdc_quarantine_redrive",
     "cdc_mor_compact",
+    "cdc_replica_sync",
 ]
 
 
