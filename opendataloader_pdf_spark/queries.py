@@ -6548,6 +6548,88 @@ def cdc_replica_sync(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_rescale_midstream",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 320)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 137)::INT, (user_id % 47)::INT] AS tokens
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Partition evolution mid-stream through the REAL engine "
+        "(cdc/maintenance.py rescale_buckets — Iceberg's partition-spec "
+        "change): replay tranche 1 under 8 hash buckets, rescale the "
+        "live table to 32 (one full rewrite, tombstones and their LSN "
+        "guards included; the manifest owns the new count so reopened "
+        "sinks adopt it), then CONTINUE replaying tranche 2 under the "
+        "new layout. Runtime-asserts the rescale commit itself is "
+        "changelog-silent (changes_between across it reports 0 rows — "
+        "files moved, no lsn did) and the adopted bucket count. Oracle "
+        "= LWW over the whole stream — equal iff no row was lost, "
+        "duplicated, or mis-bucketed across the evolution. The 100 TB "
+        "shape: bucket counts sized at table birth become skew "
+        "ceilings; this is the grow-in-place path.",
+)
+def cdc_rescale_midstream(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        changes_between,
+        rescale_buckets,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 320).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 137).cast("int"),
+                (F.col("user_id") % 47).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    bs = (mx // 2 + 1) // 2 + 1
+    split = 2 * bs  # batch-boundary-aligned tranche split
+    root = _engine_workdir("rescale_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, root, n_buckets=8)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ch.filter(F.col("delivery_seq") < split), batch_size=bs)
+
+    pre_sid = sink.snapshot_id()
+    rec = rescale_buckets(sink, 32)
+    if rec["rescale"] != [8, 32] or sink.manifest()["n_buckets"] != 32:
+        raise AssertionError(f"rescale not adopted: {rec}")
+    if changes_between(sink, pre_sid, sink.snapshot_id()).count() != 0:
+        raise AssertionError("rescale commit leaked row-level changes")
+
+    eng.replay(ch.filter(F.col("delivery_seq") >= split), batch_size=bs)
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================

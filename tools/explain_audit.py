@@ -94,6 +94,7 @@ AUDITED = [
     "cdc_quarantine_redrive",
     "cdc_mor_compact",
     "cdc_replica_sync",
+    "cdc_rescale_midstream",
 ]
 
 
