@@ -6650,18 +6650,19 @@ _GATE_PRIORITY = [
     "multimodal_video_decode", "o2_xy_cut_checkable",
     "cdc_point_lookup", "cdc_ddl_stream", "cdc_ddl_timeline",
     "cdc_bloom_lookup", "cdc_vacuum_retention", "cdc_quarantine_redrive",
+    "cdc_mor_compact", "cdc_replica_sync", "cdc_rescale_midstream",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
-    "token_splice", "decontaminate", "embedding_near_dup",
-    "embedding_near_dup_lsh", "mixture_sample", "split_assign",
+    "token_splice", "decontaminate",
+    "embedding_near_dup_lsh", "mixture_sample",
     "vocab_stats", "asof_join_last_order",
     "f_filter_stack", "f3_decoration_filter", "f8_fingerprint_tokens",
     "text_langid_quality", "a1_sessionize_gap", "a2_fold_paragraphs",
     "a3_mode_stats", "a4_heading_classify",
     "a6_fixpoint_depth", "a12_existence_prune", "a14_special_split",
     "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
-    "j2_proximity_score", "j3_rank_k_repeats", "j4_neighbor_links",
+    "j2_proximity_score", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render",
     # Displaced past the ~50-row window to make room for the new
     # wire-format/audit/offset/video/point-lookup/in-stream-DDL
@@ -6701,6 +6702,18 @@ _GATE_PRIORITY = [
     # asserted per-batch by tests/test_replay_smoke + test_mor_sink)
     # — displaced for the brand-new cdc_vacuum_retention
     "w1_windowed_activity", "cdc_lineage_metrics",
+    # embedding_near_dup (r02 green; documented brute-force baseline —
+    # its scale path embedding_near_dup_lsh KEEPS an in-window slot),
+    # split_assign (r02 green; shares the md5-bucket assignment core
+    # with mixture_sample, which stays in-window), and j3_rank_k_repeats
+    # (r02 green; adjacency-family siblings j2/j4 stay in-window, all
+    # three built on operators/adjacency.py) — displaced so the three
+    # late-round lifecycle entries cdc_mor_compact / cdc_replica_sync /
+    # cdc_rescale_midstream, which had NO driver record in any round,
+    # enter the round-4 window. All three displaced entries are
+    # strict-PASS under tools/check_oracles on current code and rotate
+    # back first in round 5.
+    "embedding_near_dup", "split_assign", "j3_rank_k_repeats",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
