@@ -6767,6 +6767,129 @@ def cdc_txn_boundary(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_toast_coalesce",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 300)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             CASE WHEN event_type = 'purchase' OR event_id % 3 = 0 THEN NULL
+                  ELSE [(event_id % 71)::INT, (user_id % 53)::INT]
+             END AS tokens,
+             event_type AS source
+      FROM events
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(source, lsn) AS src
+      FROM ch GROUP BY doc_id
+    ), img AS (
+      SELECT doc_id,
+             max_by(tokens, lsn) FILTER (WHERE tokens IS NOT NULL) AS tokens
+      FROM ch GROUP BY doc_id
+    ), final AS (
+      SELECT s.doc_id, s.lsn, s.src, img.tokens
+      FROM s JOIN img USING (doc_id)
+      WHERE s.op != 'delete' AND img.tokens IS NOT NULL
+    )
+    SELECT doc_id, lsn, src, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM final
+    """,
+    doc="Unchanged-column (TOAST-sentinel) updates through the REAL "
+        "storage layer (cdc/toast.py — Postgres logical decoding omits "
+        "unchanged TOASTed values from UPDATE images; Debezium surfaces "
+        "a placeholder): every third update carries tokens=NULL meaning "
+        "'metadata changed, token array did not'. Two LSN-ordered micro-"
+        "batches run reduce_batch_toast (ONE map-side-combinable agg: "
+        "winner metadata + latest non-null in-batch image via null-"
+        "ordered max_by) then resolve_toast (image completion against a "
+        "column-pruned narrow base read — broadcast semi + broadcast "
+        "left join, the base is never shuffled) into the LSN-guarded "
+        "MERGE; winning deletes carry the image so tombstones retain "
+        "the last token array and a later toast revive inherits it. "
+        "Toast updates with no image anywhere are DIVERTED as producer-"
+        "contract violations, never applied as null arrays — runtime-"
+        "asserted against the relational expectation per batch. Oracle "
+        "= LSN-order fold over the whole stream: winner metadata + "
+        "latest-non-null token image, deletes looked through — equal "
+        "iff carry-forward, tombstone retention, and violation "
+        "diversion are all exact.",
+)
+def cdc_toast_coalesce(spark, sf_dir):
+    from pyspark.sql import types as T
+
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink
+    from opendataloader_pdf_spark.cdc.toast import (
+        reduce_batch_toast,
+        resolve_toast,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    is_del = F.col("event_type") == "purchase"
+    toast = is_del | (F.col("event_id") % 3 == 0)
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 300).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, F.lit("delete")).otherwise(F.lit("update")).alias("op"),
+        F.when(toast, F.lit(None).cast("array<int>"))
+        .otherwise(F.array((F.col("event_id") % 71).cast("int"),
+                           (F.col("user_id") % 53).cast("int"))).alias("tokens"),
+        F.when(toast, F.lit(None).cast("int")).otherwise(F.lit(2)).alias("n_tok"),
+        F.col("event_type").alias("source"),
+    )
+    tbl = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+    ])
+    import os as _os
+
+    root = _engine_workdir("toast_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, _os.path.join(root, "t"), n_buckets=16)
+    sink.drop()
+    sink.initialize(None, tbl)
+
+    cut = mx // 2
+    for bid, batch in enumerate((ch.filter(F.col("lsn") < cut),
+                                 ch.filter(F.col("lsn") >= cut))):
+        red = reduce_batch_toast(batch)
+        narrow = sink.read(include_deleted=True).select(
+            "doc_id", "lsn", "tokens")
+        completed, viol = resolve_toast(red, narrow)
+        n_viol = viol.count()
+        # relational expectation, over docs present in THIS batch: the
+        # prefix-winner is a non-delete, yet no event of the prefix
+        # (batch ∪ everything already folded into the table) carries an
+        # image for the doc
+        seen = ch.filter(F.col("lsn") < (cut if bid == 0 else mx + 1))
+        exp = (
+            seen.join(batch.select("doc_id").distinct(), "doc_id", "left_semi")
+            .groupBy("doc_id")
+            .agg(
+                F.max_by(F.col("op"), F.col("lsn")).alias("w_op"),
+                F.max(F.when(F.col("tokens").isNotNull(), 1)).alias("has"),
+            )
+            .filter((F.col("w_op") != "delete") & F.col("has").isNull())
+            .count()
+        )
+        if n_viol != exp:
+            raise AssertionError(f"batch {bid}: {n_viol} violations, expected {exp}")
+        sink.merge(completed, bid)
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.col("source").alias("src"),
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6788,7 +6911,7 @@ _GATE_PRIORITY = [
     "cdc_point_lookup", "cdc_ddl_stream", "cdc_ddl_timeline",
     "cdc_bloom_lookup", "cdc_vacuum_retention", "cdc_quarantine_redrive",
     "cdc_mor_compact", "cdc_replica_sync", "cdc_rescale_midstream",
-    "cdc_txn_boundary",
+    "cdc_txn_boundary", "cdc_toast_coalesce",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -6799,7 +6922,7 @@ _GATE_PRIORITY = [
     "text_langid_quality", "a1_sessionize_gap", "a2_fold_paragraphs",
     "a3_mode_stats", "a4_heading_classify",
     "a6_fixpoint_depth", "a12_existence_prune", "a14_special_split",
-    "a15_stack_levels", "a16_distinct_runs", "j1_interval_containment",
+    "a15_stack_levels", "j1_interval_containment",
     "j2_proximity_score", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render",
     # Displaced past the ~50-row window to make room for the new
@@ -6856,6 +6979,9 @@ _GATE_PRIORITY = [
     # shares stays certified by in-window f_filter_stack) — displaced
     # for the brand-new cdc_txn_boundary entry
     "f3_decoration_filter",
+    # a16_distinct_runs (r02 green; sessionize.py sibling a1 stays
+    # in-window) — displaced for the brand-new cdc_toast_coalesce
+    "a16_distinct_runs",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
