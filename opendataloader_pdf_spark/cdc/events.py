@@ -169,3 +169,42 @@ def reduce_batch_broadcast(
     )
     out = filt.groupBy(key).agg(pick.alias("_w"))
     return out.select(key, *[F.col(f"_w.{c}").alias(c) for c in payload])
+
+
+def expand_rekey(events: DataFrame, key: str = "doc_id",
+                 new_key: str = "new_doc_id") -> DataFrame:
+    """Primary-key-change events: ``op='rekey'`` rows carrying the new
+    key expand to a delete at the OLD key + an insert at the NEW key,
+    both at the rekey's own lsn — Debezium's key-change contract (an
+    UPDATE that changes the key is emitted as a tombstoned delete for
+    the old key and a create for the new one, never as an in-place
+    update, because downstream partitioning is keyed).
+
+    Pure Catalyst (filter + two projections + union, no shuffle, no
+    Python); the pair shares the rekey's delivery_seq, so any
+    delivery_seq-sliced micro-batching keeps it atomic — a batch cut
+    can never apply the insert without its tombstone. Per-key LWW
+    downstream stays exact: the delete is the old key's freshest event
+    at that lsn; the insert competes at the new key like any write.
+    """
+    is_rk = F.col("op") == "rekey"
+    normal = events.filter(~is_rk).drop(new_key)
+    rk = events.filter(is_rk)
+    keep = [c for c in events.columns if c not in (key, new_key, "op")]
+    payload_null = ("tokens", "n_tok", "source", "lang")
+    dele = rk.select(
+        F.col(key),
+        F.lit("delete").alias("op"),
+        *[
+            F.lit(None).cast(events.schema[c].dataType).alias(c)
+            if c in payload_null else F.col(c)
+            for c in keep
+        ],
+    )
+    ins = rk.select(
+        F.col(new_key).alias(key),
+        F.lit("insert").alias("op"),
+        *[F.col(c) for c in keep],
+    )
+    cols = normal.columns
+    return normal.unionByName(dele.select(cols)).unionByName(ins.select(cols))

@@ -6890,6 +6890,159 @@ def cdc_toast_coalesce(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_scd2_history",
+    f"""
+    WITH ch AS (
+      SELECT 'd' || (user_id % 280)::VARCHAR AS doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 67)::INT, (user_id % 41)::INT] AS tokens,
+             event_type AS source
+      FROM events
+    ), v AS (
+      SELECT doc_id, op, tokens, source AS src, lsn AS valid_from,
+             lead(lsn) OVER (PARTITION BY doc_id ORDER BY lsn) AS valid_to
+      FROM ch
+    )
+    SELECT doc_id, valid_from, valid_to, (valid_to IS NULL) AS is_current,
+           src, len(tokens)::INT AS n_out, {_FP_SQL} AS fp
+    FROM v WHERE op != 'delete'
+    """,
+    doc="SCD Type-2 history materialization (cdc/scd2.py): one row per "
+        "applied version with [valid_from, valid_to) in LSN space — the "
+        "training-reproducibility dimension ('which token array was "
+        "live when run R sampled doc X'). Deletes emit no version but "
+        "close their predecessor. The RETURNED frame is produced by the "
+        "INCREMENTAL path: scd2_history over tranche 1, then "
+        "scd2_extend appends tranche 2 touching only open versions (a "
+        "broadcast join against the span's per-key min lsn — closed "
+        "history streams through unwindowed, O(span) upkeep); runtime-"
+        "asserts incremental == full rebuild by symmetric exceptAll. "
+        "Oracle = lead() window over the whole stream, so interval "
+        "closing, delete handling, and the incremental extension are "
+        "all value-hash-gated. Scale: one keyed shuffle for the window; "
+        "per-key history bounds the task, range-bucket stitching is the "
+        "documented hot-key path.",
+)
+def cdc_scd2_history(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc.scd2 import scd2_extend, scd2_history
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 280).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 67).cast("int"),
+                (F.col("user_id") % 41).cast("int")).alias("tokens"),
+        F.col("event_type").alias("source"),
+    )
+    cut = mx // 2
+    hist1 = scd2_history(ch.filter(F.col("lsn") < cut))
+    inc = scd2_extend(hist1, ch.filter(F.col("lsn") >= cut)).cache()
+    full = scd2_history(ch)
+    d1 = inc.exceptAll(full).count()
+    d2 = full.exceptAll(inc).count()
+    if d1 or d2:
+        raise AssertionError(f"incremental != rebuild: +{d1} -{d2}")
+    return inc.select(
+        "doc_id", "valid_from", "valid_to", "is_current",
+        F.col("source").alias("src"),
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
+@register(
+    "cdc_pk_change",
+    f"""
+    WITH raw AS (
+      SELECT 'd' || (user_id % 330)::VARCHAR AS doc_id,
+             'd' || ((user_id + 7) % 330)::VARCHAR AS new_doc_id,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  WHEN event_type = 'click' AND event_id % 13 = 0
+                    THEN 'rekey'
+                  ELSE 'update' END AS op,
+             [(event_id % 79)::INT, (user_id % 43)::INT] AS tokens
+      FROM events
+    ), exp AS (
+      SELECT doc_id, lsn, 'delete' AS op, NULL::INT[] AS tokens
+      FROM raw WHERE op = 'rekey'
+      UNION ALL
+      SELECT new_doc_id AS doc_id, lsn, 'insert' AS op, tokens
+      FROM raw WHERE op = 'rekey'
+      UNION ALL
+      SELECT doc_id, lsn, op, tokens FROM raw WHERE op != 'rekey'
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op,
+             arg_max(tokens, lsn) AS tokens
+      FROM exp GROUP BY doc_id
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s WHERE op != 'delete'
+    """,
+    doc="Primary-key-change events through the REAL engine "
+        "(cdc/events.py expand_rekey — Debezium's key-change contract: "
+        "an UPDATE that changes the key is emitted as delete@old + "
+        "create@new, never in-place, because downstream partitioning is "
+        "keyed): op='rekey' rows expand via pure Catalyst projections "
+        "(no shuffle, no Python) into a tombstone at the old key and an "
+        "insert at the new key, both at the rekey's lsn and sharing its "
+        "delivery_seq so micro-batch slicing keeps the pair atomic. The "
+        "expanded stream replays in two batches through ReplayEngine's "
+        "LSN-guarded MERGE. Oracle applies the same expansion "
+        "relationally then folds LWW — equal iff no half-applied pair, "
+        "no resurrection at the old key, and correct LWW competition at "
+        "the new key.",
+)
+def cdc_pk_change(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.cdc.events import expand_rekey
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    is_del = F.col("event_type") == "purchase"
+    is_rk = (F.col("event_type") == "click") & (F.col("event_id") % 13 == 0)
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 330).cast("string")).alias("doc_id"),
+        F.concat(F.lit("d"), ((F.col("user_id") + 7) % 330).cast("string")).alias("new_doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(is_del, F.lit("delete"))
+        .when(is_rk, F.lit("rekey"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 79).cast("int"),
+                (F.col("user_id") % 43).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    expanded = expand_rekey(ch)
+
+    import os as _os
+
+    root = _engine_workdir("pk_change_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, _os.path.join(root, "t"), n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(expanded, batch_size=mx // 2 + 1)
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -6912,6 +7065,7 @@ _GATE_PRIORITY = [
     "cdc_bloom_lookup", "cdc_vacuum_retention", "cdc_quarantine_redrive",
     "cdc_mor_compact", "cdc_replica_sync", "cdc_rescale_midstream",
     "cdc_txn_boundary", "cdc_toast_coalesce",
+    "cdc_scd2_history", "cdc_pk_change",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -6921,8 +7075,8 @@ _GATE_PRIORITY = [
     "f_filter_stack", "f8_fingerprint_tokens",
     "text_langid_quality", "a1_sessionize_gap", "a2_fold_paragraphs",
     "a3_mode_stats", "a4_heading_classify",
-    "a6_fixpoint_depth", "a12_existence_prune", "a14_special_split",
-    "a15_stack_levels", "j1_interval_containment",
+    "a6_fixpoint_depth", "a14_special_split",
+    "a15_stack_levels",
     "j2_proximity_score", "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render",
     # Displaced past the ~50-row window to make room for the new
@@ -6982,6 +7136,12 @@ _GATE_PRIORITY = [
     # a16_distinct_runs (r02 green; sessionize.py sibling a1 stays
     # in-window) — displaced for the brand-new cdc_toast_coalesce
     "a16_distinct_runs",
+    # j1_interval_containment (r02 green; its spatial.py sibling
+    # j1_bbox_containment is r03-green on the same grid-bucket core) and
+    # a12_existence_prune (r02 green; relational.py sibling j7_anti_join
+    # stays in-window) — displaced for the brand-new cdc_scd2_history
+    # and cdc_pk_change
+    "j1_interval_containment", "a12_existence_prune",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
