@@ -7043,6 +7043,132 @@ def cdc_pk_change(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_chunked_backfill",
+    f"""
+    WITH bounds AS (
+      SELECT max(event_id) AS mx, max(event_id) // 3 AS s0,
+             (max(event_id) - max(event_id) // 3) // 5 AS step
+      FROM events
+    ), ch AS (
+      -- every third doc retires early: the upstream log simply has no
+      -- events for it past s0, so it reaches the lake ONLY via chunks
+      SELECT 'd' || user_id::VARCHAR AS doc_id,
+             user_id % 4 AS bucket,
+             event_id AS lsn,
+             CASE WHEN event_type = 'purchase' THEN 'delete'
+                  ELSE 'update' END AS op,
+             [(event_id % 109)::INT, (user_id % 37)::INT] AS tokens
+      FROM events, bounds
+      WHERE NOT (user_id % 3 = 0 AND event_id > s0)
+    ), s AS (
+      SELECT doc_id, max(bucket) AS bucket, max(lsn) AS lsn,
+             arg_max(op, lsn) AS op, arg_max(tokens, lsn) AS tokens
+      FROM ch GROUP BY doc_id
+    )
+    SELECT doc_id,
+           greatest(lsn, s0 + (bucket + 1) * step) AS lsn,
+           len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM s, bounds WHERE op != 'delete'
+    """,
+    doc="DBLog-style chunked concurrent backfill through the REAL "
+        "engine (cdc/backfill.py — Netflix DBLog, watermark-based CDC "
+        "onboarding, reduced to a degenerate case by the LSN-guarded "
+        "MERGE): the tail subscribes mid-log at s0, so history below s0 "
+        "reaches the lake ONLY via 4 key-bucket chunks, each a bounded "
+        "select of the upstream state at its own read position c_i "
+        "(strictly increasing — no consistent snapshot exists at any "
+        "single point), stamped lsn=c_i and interleaved into the "
+        "stream's delivery-seq order. One ReplayEngine.replay runs the "
+        "whole onboarding schedule; the guard arbitrates every overlap "
+        "(chunk absorbs events ≤ c_i, loses to events > c_i, deleted "
+        "keys stay tombstoned). Runtime-asserts backfill-only docs "
+        "(all history ≤ s0) landed via chunks alone and that the "
+        "overlap engaged the stale counter. Oracle = LWW over the FULL "
+        "log with the stored lsn lifted to the doc's chunk position "
+        "where the chunk won — equal iff interleaved onboarding "
+        "converges to the pure-stream fold. Scale: chunks are "
+        "independent bounded reads (JDBC WHERE bucket=K analog); no "
+        "watermark window, no key-set buffer — O(1) extra state.",
+)
+def cdc_chunked_backfill(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink, ReplayEngine
+    from opendataloader_pdf_spark.cdc.backfill import interleave_backfill_log
+    from opendataloader_pdf_spark.cdc.events import last_writer_wins
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    s0 = mx // 3
+    step = (mx - s0) // 5
+    ch = ev.filter(
+        ~((F.col("user_id") % 3 == 0) & (F.col("event_id") > s0))
+    ).select(
+        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("doc_id"),
+        (F.col("user_id") % 4).alias("bucket"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 109).cast("int"),
+                (F.col("user_id") % 37).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+    )
+    stream = ch.filter(F.col("lsn") > s0).drop("bucket")
+    chunks = []
+    for i in range(4):
+        c_i = s0 + (i + 1) * step
+        upstream_at = (
+            last_writer_wins(ch.filter(F.col("lsn") <= c_i).drop("delivery_seq"))
+            .filter((F.col("op") != "delete") & (F.col("bucket") == i))
+            .drop("op", "bucket", "lsn")
+        )
+        chunks.append((upstream_at, c_i))
+    log = interleave_backfill_log(stream, chunks)
+
+    import os as _os
+
+    root = _engine_workdir("backfill_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, _os.path.join(root, "t"), n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(log, batch_size=step + 1)
+
+    final = sink.read()
+    # backfill-only docs: every event at/below s0 — reachable via chunks only
+    bf_only = (
+        ch.groupBy("doc_id").agg(F.max("lsn").alias("hi"),
+                                 F.max_by("op", F.col("lsn")).alias("w_op"))
+        .filter((F.col("hi") <= s0) & (F.col("w_op") != "delete"))
+    )
+    n_bf = bf_only.count()
+    if n_bf == 0:
+        raise AssertionError("no backfill-only doc in the test stream")
+    n_landed = final.join(bf_only, "doc_id", "left_semi").count()
+    if n_landed != n_bf:
+        raise AssertionError(
+            f"only {n_landed}/{n_bf} backfill-only docs landed via chunks"
+        )
+    # overlap evidence: chunks overwrite already-streamed rows (value-
+    # identical, lsn lifted to c_i) — the audit's updated counter. With
+    # lsn==delivery_seq the stream itself never goes stale, so `updated`
+    # in chunk batches is where the arbitration shows up.
+    n_upd = sink.read_audit().agg(F.sum("updated")).collect()[0][0] or 0
+    if n_upd == 0:
+        raise AssertionError("chunk/stream overlap never arbitrated a row")
+
+    return final.select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -7065,7 +7191,7 @@ _GATE_PRIORITY = [
     "cdc_bloom_lookup", "cdc_vacuum_retention", "cdc_quarantine_redrive",
     "cdc_mor_compact", "cdc_replica_sync", "cdc_rescale_midstream",
     "cdc_txn_boundary", "cdc_toast_coalesce",
-    "cdc_scd2_history", "cdc_pk_change",
+    "cdc_scd2_history", "cdc_pk_change", "cdc_chunked_backfill",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
@@ -7077,7 +7203,7 @@ _GATE_PRIORITY = [
     "a3_mode_stats", "a4_heading_classify",
     "a6_fixpoint_depth", "a14_special_split",
     "a15_stack_levels",
-    "j2_proximity_score", "j4_neighbor_links",
+    "j4_neighbor_links",
     "j7_anti_join", "k2_markdown_render",
     # Displaced past the ~50-row window to make room for the new
     # wire-format/audit/offset/video/point-lookup/in-stream-DDL
@@ -7142,6 +7268,9 @@ _GATE_PRIORITY = [
     # stays in-window) — displaced for the brand-new cdc_scd2_history
     # and cdc_pk_change
     "j1_interval_containment", "a12_existence_prune",
+    # j2_proximity_score (r02 green; adjacency.py sibling j4 stays
+    # in-window) — displaced for the brand-new cdc_chunked_backfill
+    "j2_proximity_score",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
