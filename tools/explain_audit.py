@@ -95,6 +95,11 @@ AUDITED = [
     "cdc_mor_compact",
     "cdc_replica_sync",
     "cdc_rescale_midstream",
+    "cdc_txn_boundary",
+    "cdc_toast_coalesce",
+    "cdc_scd2_history",
+    "cdc_pk_change",
+    "cdc_chunked_backfill",
 ]
 
 
