@@ -102,6 +102,28 @@ def main() -> None:
                         "(repeatable; e.g. upsert=update)")
     p.add_argument("--redrive-fill-seq", action="store_true",
                    help="re-drive repair: fill null delivery_seq from lsn")
+    p.add_argument("--txn-boundary", action="store_true",
+                   help="events carry txn_id and op='commit' markers "
+                        "(Debezium transaction metadata): hold each "
+                        "transaction until its marker arrives, release "
+                        "atomically; buffer state checkpoints under "
+                        "<table>/_txn_buffer and survives resubmission")
+    p.add_argument("--txn-horizon", type=int, default=None,
+                   help="with --txn-boundary: retire commit markers "
+                        "older than max_lsn - HORIZON once nothing "
+                        "pends on them (bounded-disorder contract); "
+                        "late rows surface under the buffer's late/ dir")
+    p.add_argument("--toast", action="store_true",
+                   help="updates may carry tokens=NULL as an unchanged-"
+                        "column sentinel (Postgres TOAST): carry the "
+                        "previous image forward; imageless toast "
+                        "updates divert to <table>/_toast_violations")
+    p.add_argument("--backfill-dir", default=None,
+                   help="directory of chunk-<read_lsn>/ parquet dirs "
+                        "(bounded upstream selects taken at increasing "
+                        "stream positions); interleave them into the "
+                        "replay log as lsn-stamped upserts (DBLog-style "
+                        "concurrent onboarding, no watermark window)")
     p.add_argument("--gen-events", type=int, default=None,
                    help="generate a synthetic stream of this many events first")
     p.add_argument("--gen-docs", type=int, default=10_000)
@@ -133,6 +155,25 @@ def main() -> None:
         ).parquet(a.events)
 
     events = spark.read.parquet(a.events)
+    if a.backfill_dir:
+        import re as _re
+
+        from opendataloader_pdf_spark.cdc.backfill import (
+            interleave_backfill_log,
+        )
+
+        chunks = []
+        for d in sorted(os.listdir(a.backfill_dir)):
+            m = _re.fullmatch(r"chunk-(\d+)", d)
+            if m:
+                chunks.append((
+                    spark.read.parquet(os.path.join(a.backfill_dir, d)),
+                    int(m.group(1)),
+                ))
+        if not chunks:
+            raise SystemExit(f"no chunk-<lsn>/ dirs under {a.backfill_dir}")
+        events = interleave_backfill_log(events, chunks)
+        print(json.dumps({"backfill_chunks": [c for _, c in chunks]}))
     if a.batch_size is None:
         # batch-size floor heuristic (see --batch-size help): amortize the
         # fixed per-batch commit cost over >=2M events, but keep >=5
@@ -181,6 +222,80 @@ def main() -> None:
                              for d in timeline],
             "premature_quarantined": n_premature,
         }))
+    elif a.txn_boundary:
+        from pyspark.sql import functions as F
+
+        from opendataloader_pdf_spark.cdc.txn_boundary import TxnBuffer
+
+        buf = TxnBuffer(spark, os.path.join(a.table, "_txn_buffer"),
+                        retain_horizon=a.txn_horizon)
+        hi = int(events.agg(F.max("delivery_seq")).collect()[0][0])
+        n_rounds = hi // a.batch_size + 1
+        start = buf.head()[0] + 1
+        summary = None
+        for r in range(start, n_rounds):
+            batch = events.filter(
+                (F.col("delivery_seq") >= r * a.batch_size)
+                & (F.col("delivery_seq") < (r + 1) * a.batch_size)
+            )
+            released, st = buf.feed(batch, r)
+            # each round's releases replay in that round's batch slot —
+            # the engine resumes/no-ops committed slots, so a crash in
+            # the feed→replay→commit window re-runs exactly-once
+            s = engine.replay(
+                released.drop("txn_id").withColumn(
+                    "delivery_seq", F.lit(r * a.batch_size).cast("long")),
+                batch_size=a.batch_size, finalize=False,
+            )
+            buf.commit(r)
+            if summary is None:
+                summary = s
+            else:
+                summary.batches.extend(s.batches)
+                summary.quarantined += s.quarantined
+                summary.expired += s.expired
+        if summary is None:
+            summary = engine.replay(events.limit(0), batch_size=a.batch_size)
+        print(json.dumps({"txn_held": buf.head()[1],
+                          "txn_markers": buf.head()[2]}))
+    elif a.toast:
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from opendataloader_pdf_spark.cdc.engine import ReplaySummary
+        from opendataloader_pdf_spark.cdc.toast import (
+            reduce_batch_toast,
+            resolve_toast,
+        )
+
+        hi = int(events.agg(F.max("delivery_seq")).collect()[0][0])
+        n_rounds = hi // a.batch_size + 1
+        summary = ReplaySummary()
+        n_viol = 0
+        for r in range(sink.last_batch_id() + 1, n_rounds):
+            t0 = _time.time()
+            batch = events.filter(
+                (F.col("delivery_seq") >= r * a.batch_size)
+                & (F.col("delivery_seq") < (r + 1) * a.batch_size)
+            ).drop("delivery_seq")
+            n_events = batch.count()
+            red = reduce_batch_toast(batch)
+            narrow = sink.read(include_deleted=True).select(
+                sink.key, sink.order, "tokens")
+            completed, viol = resolve_toast(red, narrow)
+            nv = viol.count()
+            if nv:
+                viol.write.mode("overwrite").parquet(
+                    os.path.join(a.table, "_toast_violations", f"batch-{r}"))
+                n_viol += nv
+            m = sink.merge(completed, r) or {"applied": 0}
+            summary.batches.append({
+                "batch_id": r, "events": n_events,
+                "applied": m.get("applied", 0),
+                "secs": _time.time() - t0,
+            })
+        print(json.dumps({"toast_violations": n_viol}))
     else:
         summary = engine.replay(events, batch_size=a.batch_size)
 
