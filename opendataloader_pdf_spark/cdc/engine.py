@@ -327,7 +327,13 @@ class ReplayEngine:
             )
             for r in inv_rows:
                 iv = int(r["inv"] or 0)
-                if r["_bid"] is None:
+                # _bid None: null delivery_seq (or an int-overflowing
+                # corrupt one). _bid >= n_batches: the row's slot lies
+                # beyond the last VALID event's batch — the loop (bounded
+                # by valid events so one corrupt 10^15 seq can't inflate
+                # it) never visits that slot, so without this diversion
+                # the row would silently vanish instead of dead-lettering.
+                if r["_bid"] is None or int(r["_bid"]) >= n_batches:
                     n_undeliverable += iv
                 else:
                     inv_by_batch[int(r["_bid"])] = (
@@ -335,9 +341,14 @@ class ReplayEngine:
                     )
         probe_rows = [r for r in probe_rows if r["_bid"] is not None]
         if n_undeliverable:
-            events.filter(F.col("delivery_seq").isNull()).write.mode(
-                "overwrite"
-            ).parquet(self._quarantine_dir(-1))
+            horizon = n_batches * batch_size
+            events.filter(
+                self._invalid_cond()
+                & (
+                    F.col("delivery_seq").isNull()
+                    | (F.col("delivery_seq") >= F.lit(horizon))
+                )
+            ).write.mode("overwrite").parquet(self._quarantine_dir(-1))
             summary.quarantined += n_undeliverable
         probe_by_batch: dict[int, list] = {}
         any_patches = False

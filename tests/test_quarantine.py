@@ -159,3 +159,43 @@ def test_quarantine_resume_idempotent(spark, clean, tmp_path):
     # per-batch overwrite keeps the dead-letter table exactly-once too
     q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
     assert q.count() == n_bad
+
+
+def test_invalid_row_beyond_valid_horizon_still_deadletters(spark, clean,
+                                                            tmp_path):
+    """Regression: an invalid row whose delivery_seq lies past the last
+    VALID event's batch slot belongs to no loop iteration (the loop is
+    bounded by valid events so a corrupt 10^15 seq can't inflate it) —
+    it must be diverted upfront, not silently lost."""
+    base = clean.limit(2).collect()
+    cols = clean.columns
+    bad_rows = []
+    for i, r in enumerate(base):
+        d = r.asDict()
+        d["lsn"] = d["lsn"] + 20_000_000 + i
+        d["op"] = "bogus"
+        # far past every valid slot, small enough to not overflow INT bid
+        d["delivery_seq"] = 10_000_000 + i
+        bad_rows.append(tuple(d[c] for c in cols))
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in clean.schema.fields]
+    )
+    dirty = clean.unionByName(spark.createDataFrame(bad_rows, nullable))
+    sink = ParquetMergeSink(spark, os.path.join(str(tmp_path), "t_hz"),
+                            n_buckets=8)
+    sink.drop()
+    eng = ReplayEngine(spark, sink, quarantine=True)
+    eng.bootstrap(None)
+    summary = eng.replay(dirty, batch_size=BATCH)
+    assert summary.quarantined == 2
+    q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
+    assert q.filter(F.col("op") == "bogus").count() == 2
+    # final state unaffected by the stragglers
+    want, _, _ = _final_state(spark, clean, str(tmp_path), "t_hz_clean")
+    got = {
+        r["doc_id"]: (r["lsn"], tuple(r["tokens"] or []))
+        for r in sink.read().collect()
+    }
+    assert got == want
