@@ -327,12 +327,12 @@ class ReplayEngine:
             )
             for r in inv_rows:
                 iv = int(r["inv"] or 0)
-                # _bid None: null delivery_seq (or an int-overflowing
-                # corrupt one). _bid >= n_batches: the row's slot lies
-                # beyond the last VALID event's batch — the loop (bounded
-                # by valid events so one corrupt 10^15 seq can't inflate
-                # it) never visits that slot, so without this diversion
-                # the row would silently vanish instead of dead-lettering.
+                # _bid None: null or negative delivery_seq (below slot
+                # 0). _bid >= n_batches: the row's slot lies beyond the
+                # last VALID event's batch — the loop (bounded by valid
+                # events so one corrupt 10^15 seq can't inflate it)
+                # never visits that slot, so without this diversion the
+                # row would silently vanish instead of dead-lettering.
                 if r["_bid"] is None or int(r["_bid"]) >= n_batches:
                     n_undeliverable += iv
                 else:
@@ -346,6 +346,7 @@ class ReplayEngine:
                 self._invalid_cond()
                 & (
                     F.col("delivery_seq").isNull()
+                    | (F.col("delivery_seq") < 0)
                     | (F.col("delivery_seq") >= F.lit(horizon))
                 )
             ).write.mode("overwrite").parquet(self._quarantine_dir(-1))
@@ -535,12 +536,19 @@ class ReplayEngine:
         null-delivery events) — one narrow scan over INVALID rows only,
         used when the stats precompute owns the main probe (its window
         excludes invalid rows, so it can't carry these counts)."""
-        bid = F.expr(f"CAST(delivery_seq DIV {int(batch_size)} AS INT)")
+        # BIGINT: ANSI INT cast of a corrupt huge seq would throw here;
+        # negatives map to NULL (DIV truncates toward zero — see the
+        # matching probe expression above)
+        bid = F.expr(
+            f"CASE WHEN delivery_seq < 0 THEN NULL "
+            f"ELSE CAST(delivery_seq DIV {int(batch_size)} AS BIGINT) END"
+        )
         return (
             events.filter(self._invalid_cond())
             .filter(
                 (F.col("delivery_seq") >= start * batch_size)
                 | F.col("delivery_seq").isNull()
+                | (F.col("delivery_seq") < 0)
             )
             .groupBy(bid.alias("_bid"))
             .agg(F.count(F.lit(1)).alias("inv"))
@@ -566,12 +574,23 @@ class ReplayEngine:
         from pyspark.sql import Window
 
         key, order = self.sink.key, self.sink.order
-        bid = F.expr(f"CAST(delivery_seq DIV {int(batch_size)} AS INT)")
+        # BIGINT, not INT: under ANSI mode (Spark 4 default) an INT cast
+        # of a corrupt 10^15 delivery_seq would THROW in the probe and
+        # abort the replay instead of dead-lettering the row. Negative
+        # seqs map to NULL: DIV truncates toward zero, so -5 DIV bs
+        # would otherwise masquerade as slot 0 while the slot's slice
+        # filter (seq >= 0) excludes it — count and row must agree.
+        bid = F.expr(
+            f"CASE WHEN delivery_seq < 0 THEN NULL "
+            f"ELSE CAST(delivery_seq DIV {int(batch_size)} AS BIGINT) END"
+        )
         flt = F.col("delivery_seq") >= start * batch_size
         if self.quarantine:
-            # null-delivery rows belong to NO batch slot; route them into
-            # the probe under _bid=null so replay() can dead-letter them
-            flt = flt | F.col("delivery_seq").isNull()
+            # null-delivery and negative-seq rows belong to NO batch
+            # slot; route them into the probe so replay() can dead-letter
+            # them (negative: below slot 0, the loop never visits it)
+            flt = (flt | F.col("delivery_seq").isNull()
+                   | (F.col("delivery_seq") < 0))
         if not with_stats:
             # probe-only: per-(batch, bucket) counts/version/patch-flag —
             # a tiny agg over the narrow scan, no per-key shuffle.

@@ -43,14 +43,18 @@ VALID_OPS = ("insert", "update", "delete", "patch")
 def invalid_event_cond(key: str, order: str):
     """Never-null boolean: event row is malformed — the full EVENT_SCHEMA
     non-null contract (key, lsn, delivery_seq, schema_version) plus a
-    known op. op.isNull() is tested before the isin so the disjunction
-    can't evaluate to SQL null, which a filter would silently drop.
-    (``ts`` is also non-null by schema but is informational only — the
-    engine never branches on it, so a null ts isn't worth diverting.)"""
+    known op, plus a non-negative delivery_seq (the tail's delivery
+    position starts at 0; a negative one belongs to NO batch slot, so
+    admitting it would silently drop the row from every slice).
+    op.isNull() is tested before the isin so the disjunction can't
+    evaluate to SQL null, which a filter would silently drop. (``ts`` is
+    also non-null by schema but is informational only — the engine never
+    branches on it, so a null ts isn't worth diverting.)"""
     return (
         F.col(key).isNull()
         | F.col(order).isNull()
         | F.col("delivery_seq").isNull()
+        | (F.col("delivery_seq") < 0)
         | F.col("schema_version").isNull()
         | F.col("op").isNull()
         | ~F.col("op").isin(*VALID_OPS)
@@ -187,7 +191,11 @@ def expand_rekey(events: DataFrame, key: str = "doc_id",
     downstream stays exact: the delete is the old key's freshest event
     at that lsn; the insert competes at the new key like any write.
     """
-    is_rk = F.col("op") == "rekey"
+    # null-safe: op=NULL is malformed, and `(op == 'rekey')` evaluates
+    # to SQL NULL for it — a plain filter pair would drop the row from
+    # BOTH branches before the engine's quarantine could dead-letter it
+    # (the invalid_event_cond rule above)
+    is_rk = F.col("op").eqNullSafe("rekey")
     normal = events.filter(~is_rk).drop(new_key)
     rk = events.filter(is_rk)
     keep = [c for c in events.columns if c not in (key, new_key, "op")]

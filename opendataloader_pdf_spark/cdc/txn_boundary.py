@@ -36,12 +36,15 @@ Scale notes
   No windows, no per-row Python.
 * State is O(open transactions + unretired markers), not O(events):
   released rows leave pending the batch they release, and
-  ``retain_horizon`` retires markers once no in-flight data row can
-  still reference them (lsn < max_seen - horizon, nothing pending) —
-  the same bounded-disorder contract as the engine's disorder
-  watermark. A data row arriving *after* its marker retired violates
-  that bound and is surfaced in the ``late`` frame (dead-letter
-  candidate), never silently dropped and never stuck pending forever.
+  ``retain_horizon`` bounds BOTH state classes under the same
+  bounded-disorder contract as the engine's disorder watermark —
+  markers retire once no in-flight data row can still reference them
+  (lsn < max_seen - horizon, nothing pending), and pending transactions
+  whose EVERY data row sits below the floor expire to a per-batch
+  ``aborted/`` dead-letter (their marker can no longer arrive inside
+  the bound), so aborted/in-flight txns cannot grow state forever. A
+  data row arriving below the floor is surfaced in the ``late`` frame.
+  Nothing is ever silently dropped.
 * Pending/commit state is checkpointed parquet + an atomically renamed
   HEAD (rerun-safe overwrite per batch id), mirroring PendingStore.
 """
@@ -62,19 +65,21 @@ BROADCAST_COMMITS = 4_000_000
 
 
 class TxnStats:
-    __slots__ = ("released", "held", "late", "markers", "retired")
+    __slots__ = ("released", "held", "late", "markers", "retired", "aborted")
 
-    def __init__(self, released=0, held=0, late=0, markers=0, retired=0):
+    def __init__(self, released=0, held=0, late=0, markers=0, retired=0,
+                 aborted=0):
         self.released = released
         self.held = held
         self.late = late
         self.markers = markers
         self.retired = retired
+        self.aborted = aborted
 
     def __repr__(self):  # pragma: no cover - debug aid
         return (f"TxnStats(released={self.released}, held={self.held}, "
                 f"late={self.late}, markers={self.markers}, "
-                f"retired={self.retired})")
+                f"retired={self.retired}, aborted={self.aborted})")
 
 
 def split_markers(batch: DataFrame, txn_col: str = "txn_id",
@@ -205,18 +210,51 @@ class TxnBuffer:
         candidates = data if prev_pend is None else prev_pend.unionByName(data)
 
         # every per-batch artifact is written exactly once and never
-        # rewritten (the retention-trimmed set goes to its OWN file),
-        # so the lazily-returned `released` frame — whose lineage reads
-        # commits-full — stays stable however late the caller runs it.
+        # rewritten, so the lazily-returned `released` frame — whose
+        # lineage reads the full commit set — stays stable however late
+        # the caller runs it. With retention active, the trimmed set
+        # (what the NEXT batch reads as batch-{id}/commits) gets its OWN
+        # file; without retention ONE write serves both roles.
         bdir = os.path.join(self.root, f"batch-{batch_id}")
-        n_full = self._write_counted(commits, os.path.join(bdir, "commits-full"))
-        commit_ids = self.spark.read.parquet(os.path.join(bdir, "commits-full"))
+        retention = self.retain_horizon is not None
+        full_name = "commits-full" if retention else "commits"
+        n_full = self._write_counted(commits, os.path.join(bdir, full_name))
+        commit_ids = self.spark.read.parquet(os.path.join(bdir, full_name))
         if n_full <= BROADCAST_COMMITS:
             commit_ids = F.broadcast(commit_ids)
 
         released = candidates.join(commit_ids.select(k), on=k, how="left_semi")
-        pending_next = candidates.join(commit_ids.select(k), on=k,
-                                       how="left_anti")
+        pending_all = candidates.join(commit_ids.select(k), on=k,
+                                      how="left_anti")
+
+        new_floor = floor
+        if retention:
+            hi = batch.agg(F.max(o)).collect()[0][0]
+            if hi is not None:
+                new_floor = max(floor, int(hi) - self.retain_horizon)
+
+        # pending-transaction expiry: a txn whose EVERY data row sits
+        # below the floor can no longer receive its marker inside the
+        # disorder bound — it is aborted. Surface its rows under
+        # aborted/ (dead-letter parity with late/, never a silent drop)
+        # and remove them from state, so aborted/in-flight txns cannot
+        # grow the pending set forever. Txns straddling the floor stay
+        # pending whole.
+        n_aborted = 0
+        if retention and new_floor > -(1 << 61):
+            dead_ids = (
+                pending_all.groupBy(k).agg(F.max(o).alias("_hi"))
+                .filter(F.col("_hi") < F.lit(new_floor))
+                .select(k)
+            )
+            n_aborted = self._write_counted(
+                pending_all.join(F.broadcast(dead_ids), on=k, how="left_semi"),
+                os.path.join(bdir, "aborted"),
+            )
+            pending_next = pending_all.join(F.broadcast(dead_ids), on=k,
+                                            how="left_anti")
+        else:
+            pending_next = pending_all
 
         n_pending = self._write_counted(pending_next,
                                         os.path.join(bdir, "pending"))
@@ -227,14 +265,9 @@ class TxnBuffer:
         # marker retention: retire commit ids that (a) sit below the new
         # floor and (b) have no pending row left — any data row for them
         # still in flight is beyond the disorder bound by definition.
-        # What the NEXT batch reads is batch-{id}/commits (the kept set).
         n_retired = 0
-        new_floor = floor
-        kept = commits
-        if self.retain_horizon is not None:
-            hi = batch.agg(F.max(o)).collect()[0][0]
-            if hi is not None:
-                new_floor = max(floor, int(hi) - self.retain_horizon)
+        n_commits = n_full
+        if retention:
             if new_floor > -(1 << 61):
                 pend_ids = self.spark.read.parquet(
                     os.path.join(bdir, "pending")).select(k).distinct()
@@ -244,13 +277,17 @@ class TxnBuffer:
                     commits.filter(F.col("commit_lsn") < F.lit(new_floor))
                     .join(pend_ids, on=k, how="left_semi")
                 ).groupBy(k).agg(F.max("commit_lsn").alias("commit_lsn"))
-        n_commits = self._write_counted(kept, os.path.join(bdir, "commits"))
-        n_retired = n_full - n_commits
+            else:
+                kept = commits
+            n_commits = self._write_counted(kept,
+                                            os.path.join(bdir, "commits"))
+            n_retired = n_full - n_commits
 
         self._stage_head(batch_id, n_pending, n_commits, new_floor)
 
         stats = TxnStats(released=-1, held=n_pending, late=n_late,
-                         markers=n_commits, retired=n_retired)
+                         markers=n_commits, retired=n_retired,
+                         aborted=n_aborted)
         # stats.released is left -1 (not counted): counting would force
         # an extra job over the wide payload; callers that need it count
         # the returned frame themselves.
@@ -281,10 +318,20 @@ def frame_transactions(events: DataFrame, txn_col: str = "txn_id",
     if commit_every:
         m = m.filter(F.col(txn_col) % commit_every != 0)
     marker_cols = [txn_col, order]
+    fills = []
+    for f in events.schema.fields:
+        if f.name in (*marker_cols, "op"):
+            continue
+        if f.name == "delivery_seq":
+            # markers are DELIVERED at their commit position — a null
+            # seq would fall out of every delivery-seq batch slice and
+            # the transaction would never release
+            fills.append(F.col(order).cast(f.dataType).alias(f.name))
+        else:
+            fills.append(F.lit(None).cast(f.dataType).alias(f.name))
     out = m.select(
         *marker_cols,
         F.lit(COMMIT_OP).alias("op"),
-        *[F.lit(None).cast(f.dataType).alias(f.name)
-          for f in events.schema.fields if f.name not in (*marker_cols, "op")],
+        *fills,
     )
     return events.unionByName(out.select(events.columns))

@@ -199,3 +199,47 @@ def test_invalid_row_beyond_valid_horizon_still_deadletters(spark, clean,
         for r in sink.read().collect()
     }
     assert got == want
+
+
+def test_overflow_and_negative_seq_deadletter_not_crash(spark, clean,
+                                                        tmp_path):
+    """ANSI mode (Spark 4 default) would throw CAST_OVERFLOW on an INT
+    batch-id cast of a 10^15 corrupt seq; and a negative seq maps to
+    slot 0 under toward-zero DIV while slot 0's slice excludes it. Both
+    must dead-letter, not crash or vanish."""
+    base = clean.limit(2).collect()
+    cols = clean.columns
+    bad_rows = []
+    for i, r in enumerate(base):
+        d = r.asDict()
+        d["lsn"] = d["lsn"] + 30_000_000 + i
+        d["op"] = "bogus"
+        d["delivery_seq"] = 10**15 if i == 0 else -7
+        bad_rows.append(tuple(d[c] for c in cols))
+    from pyspark.sql import types as T
+
+    nullable = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in clean.schema.fields]
+    )
+    dirty = clean.unionByName(spark.createDataFrame(bad_rows, nullable))
+    sink = ParquetMergeSink(spark, os.path.join(str(tmp_path), "t_ov"),
+                            n_buckets=8)
+    sink.drop()
+    eng = ReplayEngine(spark, sink, quarantine=True)
+    eng.bootstrap(None)
+    summary = eng.replay(dirty, batch_size=BATCH)
+    assert summary.quarantined == 2
+    q = spark.read.parquet(os.path.join(sink.root, "_quarantine"))
+    assert q.filter(F.col("op") == "bogus").count() == 2
+
+
+def test_negative_seq_is_malformed_by_contract(spark):
+    from opendataloader_pdf_spark.cdc.events import invalid_event_cond
+
+    df = spark.createDataFrame(
+        [("d1", 1, "update", 1, -3), ("d2", 2, "update", 1, 0)],
+        "doc_id string, lsn long, op string, schema_version int, "
+        "delivery_seq long",
+    )
+    bad = df.filter(invalid_event_cond("doc_id", "lsn")).collect()
+    assert [r["doc_id"] for r in bad] == ["d1"]

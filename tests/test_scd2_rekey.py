@@ -76,3 +76,19 @@ def test_rekey_plan_is_narrow(spark):
         "new_doc_id", F.lit("b"))
     plan = expand_rekey(ev)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_rekey_passes_malformed_null_op_through(spark):
+    # an op=NULL row must survive the expansion so the engine's
+    # quarantine can dead-letter it (null-safe eqNullSafe filter)
+    ev = _ch(spark, [
+        ("a", 1, None, [1]),
+        ("a", 2, "rekey", [2]),
+    ]).withColumn(
+        "new_doc_id",
+        F.when(F.col("op") == "rekey", F.lit("b")).otherwise(F.lit(None)),
+    )
+    out = expand_rekey(ev).collect()
+    ops = sorted((r["doc_id"], r["op"] or "NULL") for r in out)
+    assert ("a", "NULL") in ops          # malformed row preserved
+    assert ("a", "delete") in ops and ("b", "insert") in ops

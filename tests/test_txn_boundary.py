@@ -135,3 +135,39 @@ def test_retention_retires_markers_and_flags_late_rows(spark, tmp_path):
     assert r3.count() == 0
     assert s3.late == 1
     assert n_r1 > 0
+
+
+def test_retention_expires_wholly_stale_pending_txns(spark, tmp_path):
+    # txn 0 (lsn 0..7) never commits; with horizon 40 it falls wholly
+    # below the floor after batch 0 (hi=119 -> floor 79) and must expire
+    # to aborted/ instead of riding the pending set forever
+    st = _stream(spark, n=160, txn_size=8, commit_every=10**9)
+    buf = TxnBuffer(spark, str(tmp_path / "txn"), retain_horizon=40)
+    r1, s1 = buf.feed(st.filter(F.col("lsn") < 120), 0)
+    r1.count()
+    buf.commit(0)
+    assert s1.aborted == 8          # txn 0's eight data rows
+    assert s1.held == 0             # nothing pends after expiry
+    import os
+    ab = spark.read.parquet(
+        str(tmp_path / "txn" / "batch-0" / "aborted"))
+    assert ab.count() == 8
+    assert ab.select("txn_id").distinct().collect()[0][0] == 0
+
+
+def test_frame_transactions_stamps_marker_delivery_seq(spark):
+    ev = spark.range(0, 40).select(
+        F.concat(F.lit("d"), (F.col("id") % 5).cast("string")).alias("doc_id"),
+        F.col("id").alias("lsn"),
+        F.lit("update").alias("op"),
+        F.array((F.col("id") % 3).cast("int")).alias("tokens"),
+        F.col("id").alias("delivery_seq"),
+        F.floor(F.col("id") / 10).cast("long").alias("txn_id"),
+    )
+    framed = frame_transactions(ev)
+    markers = framed.filter(F.col("op") == "commit")
+    # markers are delivered at their commit position, never seq-null —
+    # a null seq would fall out of every delivery-seq batch slice
+    assert markers.filter(F.col("delivery_seq").isNull()).count() == 0
+    row = markers.filter(F.col("txn_id") == 1).collect()[0]
+    assert row["delivery_seq"] == row["lsn"] == 19

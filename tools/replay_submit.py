@@ -229,14 +229,19 @@ def main() -> None:
 
         buf = TxnBuffer(spark, os.path.join(a.table, "_txn_buffer"),
                         retain_horizon=a.txn_horizon)
-        hi = int(events.agg(F.max("delivery_seq")).collect()[0][0])
+        # null-safe slice position: commit markers from producers that
+        # don't stamp a delivery_seq fall back to their lsn — a plain
+        # delivery_seq slice would silently exclude them and no
+        # transaction would ever release
+        pos = F.coalesce(F.col("delivery_seq"), F.col("lsn"))
+        hi = int(events.agg(F.max(pos)).collect()[0][0])
         n_rounds = hi // a.batch_size + 1
         start = buf.head()[0] + 1
         summary = None
         for r in range(start, n_rounds):
             batch = events.filter(
-                (F.col("delivery_seq") >= r * a.batch_size)
-                & (F.col("delivery_seq") < (r + 1) * a.batch_size)
+                (pos >= r * a.batch_size)
+                & (pos < (r + 1) * a.batch_size)
             )
             released, st = buf.feed(batch, r)
             # each round's releases replay in that round's batch slot —
