@@ -184,3 +184,51 @@ class PartitionOffsetTail:
                 )
             self.store.write(bid, self._advance_map(offs, max_seen))
         return self.store.current()
+
+
+def consumer_lag(events: "DataFrame", offsets: dict[int, int],
+                 partition_col: str = "partition",
+                 offset_col: str = "offset",
+                 order: str = "lsn") -> "DataFrame":
+    """Per-partition consumer lag & freshness view — the monitoring
+    face of the offset tail (north rule: per-partition lineage and
+    event-count metrics).
+
+    For each shard of the source stream: how many events exist
+    (``produced``), how many the committed offset map has applied
+    (``committed``), the backlog (``lag``), and the LSN watermarks on
+    both sides (``applied_hi`` = freshness of the lake table for this
+    shard, ``produced_hi`` = head of the shard). ``applied_events``
+    recounts offsets below the committed mark from the data itself —
+    equal to ``committed`` iff the shard's offset sequence is contiguous,
+    so the view doubles as a gap detector (a hole upstream shows up as
+    applied_events < committed without any extra audit pass).
+
+    Scale shape: ONE map-side-combinable aggregation over a broadcast
+    join of the (tiny, driver-held) offset map onto the stream — no
+    window, no shuffle of the events beyond the final per-partition
+    hash agg of P rows. Partitions absent from the map count as
+    committed=0 (a consumer that never started).
+    """
+    from pyspark.sql import functions as F
+
+    spark = events.sparkSession
+    rows = [(int(p), int(o)) for p, o in offsets.items()] or [(-1, 0)]
+    cmap = F.broadcast(
+        spark.createDataFrame(rows, f"{partition_col} int, committed long")
+    )
+    j = events.join(cmap, on=partition_col, how="left").withColumn(
+        "committed", F.coalesce(F.col("committed"), F.lit(0))
+    )
+    applied = F.col(offset_col) < F.col("committed")
+    return (
+        j.groupBy(partition_col)
+        .agg(
+            F.count(F.lit(1)).alias("produced"),
+            F.max("committed").alias("committed"),
+            F.sum(applied.cast("long")).alias("applied_events"),
+            F.max(F.when(applied, F.col(order))).alias("applied_hi"),
+            F.max(order).alias("produced_hi"),
+        )
+        .withColumn("lag", F.col("produced") - F.col("committed"))
+    )

@@ -7169,6 +7169,101 @@ def cdc_chunked_backfill(spark, sf_dir):
     )
 
 
+@register(
+    "cdc_consumer_lag",
+    """
+    WITH bounds AS (
+      SELECT 2 * ((max(event_id) // 8) // 4 + 1) AS lim FROM events
+    ), ch AS (
+      SELECT (event_id % 8)::INT AS partition,
+             event_id // 8 AS off,
+             event_id AS lsn
+      FROM events
+    ), per AS (
+      SELECT partition, count(*) AS n FROM ch GROUP BY partition
+    ), cm AS (
+      SELECT partition, n,
+             least((SELECT lim FROM bounds), n) AS committed
+      FROM per
+    )
+    SELECT ch.partition,
+           max(cm.n) AS produced,
+           max(cm.committed) AS committed,
+           sum(CASE WHEN ch.off < cm.committed THEN 1 ELSE 0 END)::BIGINT
+             AS applied_events,
+           max(CASE WHEN ch.off < cm.committed THEN ch.lsn END) AS applied_hi,
+           max(ch.lsn) AS produced_hi,
+           (max(cm.n) - max(cm.committed))::BIGINT AS lag
+    FROM ch JOIN cm USING (partition)
+    GROUP BY ch.partition
+    """,
+    doc="Per-partition consumer lag & freshness view over the REAL "
+        "offset tail (cdc/offsets.py consumer_lag — the monitoring face "
+        "of the north rule's per-partition lineage/metrics clause): run "
+        "the sharded tail for exactly TWO of its ~4-5 rounds, then join "
+        "its committed offset map (tiny, broadcast) onto the stream and "
+        "aggregate produced/committed/lag plus LSN watermarks on both "
+        "sides in ONE map-side-combinable pass. applied_events recounts "
+        "sub-committed offsets from the data itself, so the view "
+        "doubles as an upstream-gap detector (a hole shows up as "
+        "applied_events < committed). Runtime-asserts the committed map "
+        "equals min(2·per_round, partition_total) for every shard. The "
+        "oracle recomputes the whole view relationally from the tail's "
+        "deterministic round arithmetic — equal iff offset slicing, "
+        "commit bookkeeping, and the lag algebra all agree.",
+)
+def cdc_consumer_lag(spark, sf_dir):
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink
+    from opendataloader_pdf_spark.cdc.offsets import (
+        PartitionOffsetTail,
+        consumer_lag,
+    )
+
+    P = 8
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        F.concat(F.lit("d"), (F.col("user_id") % 370).cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        F.when(F.col("event_type") == "purchase", F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("event_id") % 149).cast("int"),
+                (F.col("user_id") % 67).cast("int")).alias("tokens"),
+        F.lit(2).cast("int").alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.lit(0).cast("long").alias("delivery_seq"),  # tail synthesizes
+        (F.col("event_id") % P).cast("int").alias("partition"),
+        F.expr(f"event_id div {P}").alias("offset"),
+    )
+    max_off = int(ch.agg(F.max("offset")).collect()[0][0])
+    per_round = max_off // 4 + 1
+
+    import os as _os
+
+    root = _engine_workdir("consumer_lag_catalog", sf_dir)
+    sink = ParquetMergeSink(spark, _os.path.join(root, "t"), n_buckets=16)
+    sink.drop()
+    tail = PartitionOffsetTail(spark, sink, n_partitions=P,
+                               per_round=per_round)
+    tail.advance(ch, rounds=2)
+    offs = tail.offsets()
+
+    totals = {
+        int(r["partition"]): int(r["n"])
+        for r in ch.groupBy("partition")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    want = {p: min(2 * per_round, n) for p, n in totals.items()}
+    if offs != want:
+        raise AssertionError(f"committed map {offs} != expected {want}")
+
+    return consumer_lag(ch, offs).select(
+        "partition", "produced", "committed", "applied_events",
+        "applied_hi", "produced_hi", "lag",
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
@@ -7192,13 +7287,14 @@ _GATE_PRIORITY = [
     "cdc_mor_compact", "cdc_replica_sync", "cdc_rescale_midstream",
     "cdc_txn_boundary", "cdc_toast_coalesce",
     "cdc_scd2_history", "cdc_pk_change", "cdc_chunked_backfill",
+    "cdc_consumer_lag",
     # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
     "token_splice", "decontaminate",
     "embedding_near_dup_lsh", "mixture_sample",
     "vocab_stats", "asof_join_last_order",
-    "f_filter_stack", "f8_fingerprint_tokens",
+    "f_filter_stack",
     "text_langid_quality", "a1_sessionize_gap", "a2_fold_paragraphs",
     "a3_mode_stats", "a4_heading_classify",
     "a6_fixpoint_depth", "a14_special_split",
@@ -7271,6 +7367,10 @@ _GATE_PRIORITY = [
     # j2_proximity_score (r02 green; adjacency.py sibling j4 stays
     # in-window) — displaced for the brand-new cdc_chunked_backfill
     "j2_proximity_score",
+    # f8_fingerprint_tokens (r02 green; the token-fingerprint scaffold
+    # it gates runs inside EVERY engine entry's output projection above)
+    # — displaced for the brand-new cdc_consumer_lag
+    "f8_fingerprint_tokens",
 ]
 _reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
