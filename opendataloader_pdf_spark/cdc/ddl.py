@@ -234,7 +234,15 @@ def premature_cond(timeline: list[DdlEvent], columns: list[str]):
     for d in timeline:
         if d.action != "add_column" or d.column not in columns:
             continue
-        c = F.col(d.column).isNotNull() & (F.col("lsn") < F.lit(d.lsn))
+        # coalesce: a null-lsn (malformed) row makes the comparison SQL
+        # NULL; without the fallback both `filter(cond)` and
+        # `filter(~cond)` would drop it — it must instead flow through
+        # as not-premature so the engine's quarantine dead-letters it
+        # (the events.py never-null-filter rule)
+        c = F.coalesce(
+            F.col(d.column).isNotNull() & (F.col("lsn") < F.lit(d.lsn)),
+            F.lit(False),
+        )
         cond = c if cond is None else (cond | c)
     return cond
 
@@ -268,7 +276,10 @@ def replay_ddl_stream(
         timeline = collect_timeline(
             parse_ddl(events.filter(F.col("op") == "ddl"), ddl_col=ddl_col)
         )
-        data = events.filter(F.col("op") != "ddl").drop(ddl_col)
+        # eqNullSafe: op=NULL is malformed, and (op != 'ddl') evaluates
+        # to SQL NULL for it — a plain filter would silently drop the
+        # row before the engine's quarantine could dead-letter it
+        data = events.filter(~F.col("op").eqNullSafe("ddl")).drop(ddl_col)
     else:
         # no DDL channel in this stream — empty timeline, plain replay
         timeline = []

@@ -226,8 +226,17 @@ class ReplayEngine:
                         "events below the vacuum_floor found but the sink "
                         "has no .root for the _retention_expired table"
                     )
+                # per-run subdir, same layout as the streaming tail's
+                # batch=s<N> epochs: a flat overwrite of the shared root
+                # would clobber the tail's (or an earlier round's) dead
+                # letters, and dead letters exist precisely so no event
+                # is ever lost. Keyed by the resume slot, so a rerun of
+                # the same call overwrites its own dir (exactly-once).
                 exp.write.mode("overwrite").parquet(
-                    os.path.join(root, "_retention_expired")
+                    os.path.join(
+                        root, "_retention_expired",
+                        f"batch=e{self.sink.last_batch_id() + 1}",
+                    )
                 )
             events = events.filter(
                 F.col(self.sink.order).isNull() | ~expired_cond

@@ -215,15 +215,19 @@ def abort(sink: ParquetMergeSink) -> dict:
         os.remove(base_path)
     # aborted snapshot dirs may be left holding only Spark write markers
     # (_SUCCESS / hidden checksums) once their bucket dirs are gone —
-    # sweep the markers too so the abort leaves no husk on disk
+    # sweep the markers too so the abort leaves no husk on disk.
+    # MoR staged commits write delta-<sid> dirs instead of snap-<sid>,
+    # so both prefixes are swept.
     for s in staged_sids:
-        sdir = os.path.join(sink.data_dir, f"snap-{s}")
-        if os.path.isdir(sdir):
-            left = os.listdir(sdir)
-            if all(os.path.isfile(os.path.join(sdir, n))
-                   and (n.startswith("_") or n.startswith(".")) for n in left):
-                for n in left:
-                    os.remove(os.path.join(sdir, n))
+        for prefix in ("snap", "delta"):
+            sdir = os.path.join(sink.data_dir, f"{prefix}-{s}")
+            if os.path.isdir(sdir):
+                left = os.listdir(sdir)
+                if all(os.path.isfile(os.path.join(sdir, n))
+                       and (n.startswith("_") or n.startswith("."))
+                       for n in left):
+                    for n in left:
+                        os.remove(os.path.join(sdir, n))
     # empty snapshot dirs left by removed buckets (a never-written sink
     # has no data dir at all — nothing to sweep)
     for name in os.listdir(sink.data_dir) if os.path.isdir(sink.data_dir) else []:

@@ -202,6 +202,13 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     while pos + 8 <= len(data):
         tag = data[pos:pos + 4]
         (ln,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        if pos + 8 + ln > len(data):
+            # same refusal contract as decode_avi: a chunk declaring
+            # more bytes than remain is corruption, not short samples
+            raise ValueError(
+                f"WAV chunk {tag!r} declares {ln} bytes, only "
+                f"{len(data) - pos - 8} remain"
+            )
         body = data[pos + 8:pos + 8 + ln]
         if tag == b"fmt ":
             audio_fmt, ch, rate, _brate, _balign, bits = struct.unpack(
@@ -251,7 +258,10 @@ def decode_wav_stats(media: DataFrame) -> DataFrame:
                 out["sample_rate"].append(rate)
                 out["n_frames"].append(nf)
                 out["amp_sum"].append(int(samples.astype(np.int64).sum()))
-                out["amp_max"].append(int(samples.max()))
+                # a zero-frame WAV is valid; max() has no identity on an
+                # empty array, so report 0 instead of crashing the stage
+                out["amp_max"].append(int(samples.max()) if len(samples)
+                                      else 0)
             yield pd.DataFrame(out).astype(
                 {"n_channels": np.int32, "sample_rate": np.int32,
                  "n_frames": np.int32, "amp_sum": np.int64,

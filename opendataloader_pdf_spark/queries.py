@@ -2412,11 +2412,16 @@ def multimodal_audio_decode(spark, sf_dir):
         "(row explosion inside Arrow-batched mapInPandas — the video "
         "frame-sampling shape over real decoded content). The oracle "
         "predicts per-frame width/height/rate/pixel-sum from the "
-        "generator's closed form, so any codec error — wrong stride "
-        "padding, top-down vs bottom-up rows, RGB/BGR swap, chunk "
-        "misalignment — breaks the hash. Only COMPRESSED video (H.264 "
-        "etc.) remains behind the documented hash-derived fake: those "
-        "genuinely need codec libs the container lacks.",
+        "generator's closed form: it catches dropped/duplicated/"
+        "mis-split frames, wrong stride padding, and chunk "
+        "misalignment. A per-frame pixel SUM is permutation-invariant, "
+        "so row-order (top-down vs bottom-up) and channel-order "
+        "(RGB/BGR) errors are NOT visible to this hash — those two are "
+        "pinned instead by the encode/decode roundtrip property test "
+        "(tests/test_property_codecs.py, exact array equality). Only "
+        "COMPRESSED video (H.264 etc.) remains behind the documented "
+        "hash-derived fake: those genuinely need codec libs the "
+        "container lacks.",
 )
 def multimodal_video_decode(spark, sf_dir):
     from opendataloader_pdf_spark.functions.multimodal import (
@@ -6151,8 +6156,11 @@ def cdc_bloom_lookup(spark, sf_dir):
              [(event_id % 103)::INT, (user_id % 59)::INT] AS tokens
       FROM events
     ), bf AS (
+      -- + m + 1: event_id 0 exists, and +m alone would park the
+      -- boundary row AT the floor, where the engine retention-expires
+      -- it (lsn <= floor) while this fold would count it admissible
       SELECT 'd' || (user_id % 350)::VARCHAR AS doc_id,
-             event_id + (SELECT m FROM mx) AS lsn,
+             event_id + (SELECT m FROM mx) + 1 AS lsn,
              'update' AS op,
              [(event_id % 71)::INT, 5::INT] AS tokens
       FROM events WHERE event_id % 3 = 0
@@ -6224,18 +6232,21 @@ def cdc_vacuum_retention(spark, sf_dir):
             f"tombstones left={n_tomb}"
         )
 
-    # fresh tranche (lsn > floor) + retransmissions of first-tranche
-    # events at fresh delivery positions but their ORIGINAL sub-floor
-    # lsns — the post-retention redelivery case
+    # fresh tranche (STRICTLY lsn > floor: +mx+1, since lsn 0 exists
+    # and +mx would park it exactly AT the floor where the engine
+    # retention-expires it while the oracle counts it admissible) +
+    # retransmissions of first-tranche events at fresh delivery
+    # positions but their ORIGINAL sub-floor lsns — the post-retention
+    # redelivery case
     b_fresh = a.filter(F.col("lsn") % 3 == 0).select(
         "doc_id",
-        (F.col("lsn") + mx).alias("lsn"),
+        (F.col("lsn") + mx + 1).alias("lsn"),
         F.lit("update").alias("op"),
         F.array((F.col("lsn") % 71).cast("int"),
                 F.lit(5).cast("int")).alias("tokens"),
         F.lit(2).cast("int").alias("n_tok"),
         "source", "schema_version", "ts",
-        (F.col("delivery_seq") + mx).alias("delivery_seq"),
+        (F.col("delivery_seq") + mx + 1).alias("delivery_seq"),
     )
     b_stale = a.filter(F.col("lsn") % 89 == 0).withColumn(
         "delivery_seq", F.col("delivery_seq") + F.lit(2 * mx)

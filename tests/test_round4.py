@@ -238,3 +238,115 @@ def test_xy_cut_checkable_provable_order(spark, sf_dir):
         else:
             expect = {k: k for k in range(9)}
         assert ranks == expect, (page, ranks)
+
+
+def test_wav_overrunning_chunk_refused_and_empty_wav_ok(spark):
+    """Review follow-ups: (a) a data chunk declaring more bytes than
+    remain must be refused (the AVI refusal contract, now shared);
+    (b) a valid zero-frame WAV must decode and stat cleanly instead of
+    crashing numpy's empty-max inside the Spark stage."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.functions import multimodal as M
+
+    wav = M.encode_wav_pcm16(np.arange(20, dtype=np.int16), rate=8000,
+                             channels=1)
+    # inflate the data chunk's length field past the buffer end
+    i = wav.rindex(b"data")
+    (ln,) = struct.unpack("<I", wav[i + 4:i + 8])
+    bad = wav[:i + 4] + struct.pack("<I", ln + 40) + wav[i + 8:]
+    with _pytest.raises(ValueError, match="declares"):
+        M.decode_wav(bad)
+
+    empty = M.encode_wav_pcm16(np.array([], dtype=np.int16), rate=8000,
+                               channels=1)
+    ch, rate, nf, samples = M.decode_wav(empty)
+    assert (ch, rate, nf, len(samples)) == (1, 8000, 0, 0)
+    media = spark.createDataFrame([(1, bytearray(empty))],
+                                  "media_id long, payload binary")
+    row = M.decode_wav_stats(media).collect()[0]
+    assert row["n_frames"] == 0 and row["amp_sum"] == 0
+    assert row["amp_max"] == 0
+
+
+def test_ddl_stream_preserves_malformed_null_op_rows(spark, tmp_path):
+    """A null-op row must flow through replay_ddl_stream's ddl split to
+    the engine's quarantine instead of being three-valued-logic-dropped."""
+    from pyspark.sql import types as T
+
+    from opendataloader_pdf_spark.cdc import ParquetMergeSink
+    from opendataloader_pdf_spark.cdc.ddl import replay_ddl_stream
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("op", T.StringType()),
+        T.StructField("tokens", T.ArrayType(T.IntegerType())),
+        T.StructField("n_tok", T.IntegerType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("schema_version", T.IntegerType()),
+        T.StructField("delivery_seq", T.LongType()),
+        T.StructField("ddl", T.StringType()),
+    ])
+    ev = spark.createDataFrame([
+        ("a", 1, "update", [1], 1, "s", 1, 1, None),
+        ("b", 2, None, [2], 1, "s", 1, 2, None),     # malformed
+        ("c", 3, "update", [3], 1, "s", 1, 3, None),
+    ], schema)
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), n_buckets=4)
+    summary, timeline, n_premature = replay_ddl_stream(
+        spark, sink, ev, batch_size=10, quarantine=True)
+    assert summary.quarantined == 1
+    assert sink.read().count() == 2
+
+
+def test_engine_retention_deadletter_coexists_with_tail_epochs(spark,
+                                                               tmp_path):
+    """The engine's retention dead-letter must not clobber the tail's
+    per-epoch batch=s<N> dirs: both write subdirs of the shared root."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        vacuum_tombstones,
+    )
+
+    ev = spark.range(0, 400).select(
+        F.concat(F.lit("d"), (F.col("id") % 40).cast("string")).alias("doc_id"),
+        F.col("id").alias("lsn"),
+        F.when(F.col("id") % 7 == 3, F.lit("delete"))
+        .otherwise(F.lit("update")).alias("op"),
+        F.array((F.col("id") % 5).cast("int")).alias("tokens"),
+        F.lit(1).cast("int").alias("n_tok"), F.lit("s").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.current_timestamp().alias("ts"),
+        F.col("id").alias("delivery_seq"),
+    )
+    sink = ParquetMergeSink(spark, str(tmp_path / "t"), n_buckets=4)
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    eng.replay(ev, batch_size=200)
+    vacuum_tombstones(sink, floor=399)
+    # simulate a tail epoch's dead letters already present
+    pre = ev.filter(F.col("lsn") < 5)
+    pre.write.parquet(os.path.join(sink.root, "_retention_expired",
+                                   "batch=s0"))
+    # engine replay of retransmitted sub-floor events must land in its
+    # own batch=e<slot> dir, leaving the tail's copy intact
+    retrans = ev.filter(F.col("lsn") % 89 == 0).withColumn(
+        "delivery_seq", F.col("delivery_seq") + 1000)
+    s = ReplayEngine(spark, sink).replay(retrans, batch_size=200)
+    assert s.expired > 0
+    root = os.path.join(sink.root, "_retention_expired")
+    subdirs = sorted(d for d in os.listdir(root) if d.startswith("batch="))
+    assert "batch=s0" in subdirs and any(d.startswith("batch=e")
+                                         for d in subdirs)
+    whole = spark.read.parquet(root)
+    assert whole.count() == 5 + s.expired

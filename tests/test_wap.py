@@ -136,6 +136,14 @@ def test_abort_tolerates_mor_compaction_commits(spark, events, tmp_path):
     assert res["aborted_snapshots"]
     assert sink.read().count() == 0
     assert not os.path.exists(os.path.join(sink.meta_dir, "STAGE"))
+    # no husk survives the abort: staged sids are > head, so their
+    # snap-/delta- dirs are purely staged state and must be gone
+    # entirely (bucket dirs deleted, write markers swept, empty dir
+    # removed)
+    for s in res["aborted_snapshots"]:
+        for prefix in ("snap", "delta"):
+            d = os.path.join(sink.data_dir, f"{prefix}-{s}")
+            assert not os.path.isdir(d), d
     # a fresh stage works after the abort
     staged = begin_staged(sink)
     ReplayEngine(spark, staged).replay(events, batch_size=1_500, max_batches=1)
