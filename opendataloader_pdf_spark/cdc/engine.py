@@ -716,6 +716,17 @@ class ReplayEngine:
         a same-id pending HEAD, so a re-run replays it as a no-op."""
         head, pending_n = self._pending_store().head() if self._pending_store() else (-1, 0)
         if pending_n == 0 or head >= flush_batch_id:
+            # crash-window heal: a prior flush attempt that advanced the
+            # pending HEAD to the flush slot but died before
+            # mark_finalized DID consume the slot — its merge committed
+            # before the HEAD write. Without re-asserting the flag here,
+            # the longer-log guard in replay() never engages and events
+            # landing in the consumed slot would be silently skipped.
+            # (head can only reach flush_batch_id via a flush: the batch
+            # loop tops out one below it.)
+            ps = self._pending_store()
+            if ps and head >= flush_batch_id and ps.finalized_at() is None:
+                ps.mark_finalized(head)
             return
         pending_prev, _ = self._read_pending()
         empty = events.filter(F.lit(False))

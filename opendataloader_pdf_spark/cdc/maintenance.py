@@ -263,6 +263,20 @@ def expire_snapshots(sink: ParquetMergeSink, keep_last: int = 2,
             full = os.path.join(sink.data_dir, name)
             if os.path.isdir(full) and not os.listdir(full):
                 os.rmdir(full)
+        # trim the live manifest's commit log to retained history:
+        # commits below the oldest retained snapshot point at manifests
+        # that no longer exist, so changes_between can't use them — and
+        # carrying them forward forever makes every manifest parse and
+        # rewrite O(total table history) on a continuously-ingesting
+        # table. Same-sid rewrite under the CAS guard (single-writer
+        # maintenance, like rescale/vacuum).
+        oldest = min(keep)
+        m = sink.manifest()
+        n_before = len(m["commits"])
+        m["commits"] = [c for c in m["commits"]
+                        if c["snapshot_id"] >= oldest]
+        if len(m["commits"]) != n_before:
+            sink._commit(m)
     return {"expired": expired, "deleted_files": deleted,
             "freed_bytes": freed}
 

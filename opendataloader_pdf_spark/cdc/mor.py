@@ -41,7 +41,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
+from opendataloader_pdf_spark.cdc.storage import (
+    ParquetMergeSink,
+    guard_audit_rows,
+)
 
 
 class MergeOnReadSink(ParquetMergeSink):
@@ -264,30 +267,7 @@ class MergeOnReadSink(ParquetMergeSink):
                 F.col(self.order).alias("_clsn"),
                 F.col("op").alias("_cop"),
             ).join(state, self.key, "left")
-            wins = F.col("_blsn").isNull() | (F.col("_clsn") > F.col("_blsn"))
-            was = F.col("_blsn").isNotNull()
-            dele = F.col("_cop") == "delete"
-            stats = (
-                d.groupBy("bucket")
-                .agg(
-                    F.sum(F.when(wins & ~dele & was, 1).otherwise(0)).alias("updated"),
-                    F.sum(F.when(wins & ~dele & ~was, 1).otherwise(0)).alias("inserted"),
-                    F.sum(F.when(wins & dele, 1).otherwise(0)).alias("deleted"),
-                    F.sum(F.when(~wins, 1).otherwise(0)).alias("stale"),
-                    F.min("_clsn").alias("min_lsn"),
-                    F.max("_clsn").alias("max_lsn"),
-                )
-                .collect()
-            )
-            audit_rows = [
-                {
-                    "bucket": r["bucket"],
-                    "updated": r["updated"] or 0, "inserted": r["inserted"] or 0,
-                    "deleted": r["deleted"] or 0, "stale": r["stale"] or 0,
-                    "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
-                }
-                for r in stats
-            ]
+            audit_rows = guard_audit_rows(d)
         audit = [
             {**row, "batch_id": batch_id, "snapshot_id": sid}
             for row in audit_rows

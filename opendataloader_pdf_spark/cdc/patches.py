@@ -220,6 +220,15 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
     table_lang = "lang" in table_cols
     has_lang = "lang" in reduced.columns  # batch may carry lang before the
     # table evolves; base lang only exists once the table has the column
+    # lang must flow through the OUTPUT whenever EITHER side has it: a
+    # lang-less batch (v1 producer) patching a row on an evolved table
+    # would otherwise emit no lang column, _align would null-fill it,
+    # and a token-only splice would wipe the stored lang. Full writes
+    # from a lang-less producer legitimately set lang=null (the row is
+    # replaced); patches preserve the base value.
+    emit_lang = has_lang or table_lang
+    if table_lang and not has_lang:
+        no_patch = no_patch.withColumn("lang", F.lit(None).cast("string"))
     base = sink.read(buckets=affected, include_deleted=True).select(
         F.col(key),
         F.col("tokens").alias("_b_tokens"),
@@ -262,8 +271,11 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
         tokens_out.alias("_tokens_out"),
         F.when(use_w, F.col("source")).otherwise(F.col("_b_source")).alias("_src_out"),
         *([
-            F.when(use_w, F.col("lang")).otherwise(b_lang).alias("_lang_out")
-        ] if has_lang else []),
+            F.when(use_w,
+                   F.col("lang") if has_lang
+                   else F.lit(None).cast("string"))
+            .otherwise(b_lang).alias("_lang_out")
+        ] if emit_lang else []),
         F.when(apply_now, F.element_at("_appl", -1)["lsn"])
         .otherwise(F.col(order)).alias("_lsn_out"),
         emit.alias("_emit"),
@@ -280,7 +292,7 @@ def resolve_patches(reduced: DataFrame, sink, affected: list[int],
         F.when(F.col("_tokens_out").isNotNull(), F.size("_tokens_out"))
         .cast("int").alias("n_tok"),
         F.col("_src_out").alias("source"),
-        *([F.col("_lang_out").alias("lang")] if has_lang else []),
+        *([F.col("_lang_out").alias("lang")] if emit_lang else []),
         F.col("_lsn_out").alias(order),
         *([F.col("delivery_seq")] if "delivery_seq" in reduced.columns else []),
     )
@@ -356,7 +368,11 @@ class PendingStore:
 
         os.makedirs(self.root, exist_ok=True)
         path = os.path.join(self.root, f"batch-{batch_id}")
-        pending.coalesce(1).write.mode("overwrite").parquet(path)
+        # repartition, not coalesce: coalesce(1) would pull the whole
+        # upstream patch-resolution join into ONE task; repartition
+        # keeps the join parallel and single-tasks only the (tiny)
+        # post-shuffle pending write
+        pending.repartition(1).write.mode("overwrite").parquet(path)
         n = sum(
             pq.read_metadata(os.path.join(path, f)).num_rows
             for f in os.listdir(path)
@@ -388,7 +404,13 @@ class PendingStore:
                      finalized: bool = False) -> None:
         import os
 
-        tmp = os.path.join(self.root, f".HEAD.{batch_id}")
-        with open(tmp, "w") as f:
-            f.write(f"{batch_id} {n_rows}" + (" F" if finalized else ""))
-        os.replace(tmp, os.path.join(self.root, "HEAD"))
+        from opendataloader_pdf_spark.cdc.storage import _atomic_write
+
+        # _atomic_write (flush + fsync + rename) rather than a bare
+        # replace: without the fsync a power loss can surface HEAD as a
+        # zero-byte file under delayed allocation, bricking head() on
+        # every later replay until hand-repaired
+        _atomic_write(
+            os.path.join(self.root, "HEAD"),
+            f"{batch_id} {n_rows}" + (" F" if finalized else ""),
+        )

@@ -73,6 +73,39 @@ def manifest_data_paths(m: dict) -> set[str]:
     return out
 
 
+def guard_audit_rows(d: "DataFrame") -> list[dict]:
+    """Per-bucket lineage counters from a narrow guard frame with
+    columns (bucket, _clsn, _cop, _blsn) — one changed key per row,
+    ``_blsn`` = the key's current guard lsn (null if absent). The
+    SINGLE implementation of the audit-counter contract, shared by the
+    COW delta path and the MoR sink so the two can't silently diverge.
+    """
+    wins = F.col("_blsn").isNull() | (F.col("_clsn") > F.col("_blsn"))
+    was = F.col("_blsn").isNotNull()
+    dele = F.col("_cop") == "delete"
+    stats = (
+        d.groupBy("bucket")
+        .agg(
+            F.sum(F.when(wins & ~dele & was, 1).otherwise(0)).alias("updated"),
+            F.sum(F.when(wins & ~dele & ~was, 1).otherwise(0)).alias("inserted"),
+            F.sum(F.when(wins & dele, 1).otherwise(0)).alias("deleted"),
+            F.sum(F.when(~wins, 1).otherwise(0)).alias("stale"),
+            F.min("_clsn").alias("min_lsn"),
+            F.max("_clsn").alias("max_lsn"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "bucket": r["bucket"],
+            "updated": r["updated"] or 0, "inserted": r["inserted"] or 0,
+            "deleted": r["deleted"] or 0, "stale": r["stale"] or 0,
+            "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
+        }
+        for r in stats
+    ]
+
+
 def _atomic_write(path: str, payload: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex[:8]}"
     with open(tmp, "w") as f:
@@ -631,7 +664,6 @@ class ParquetMergeSink:
         sid = m["snapshot_id"] + 1
         snap_rel = f"snap-{sid}"
         snap_dir = os.path.join(self.data_dir, snap_rel)
-        has_base = any(str(b) in m["buckets"] for b in affected)
 
         base_narrow = self.read(buckets=affected, include_deleted=True).select(
             F.col(self.key), F.col(self.order).alias("_blsn")
@@ -649,28 +681,8 @@ class ParquetMergeSink:
             # the engine precomputed the audit upfront (patch-free
             # streams), no per-batch action runs here at all.
             cached = d = d.cache()
-            stats = (
-                d.groupBy("bucket")
-                .agg(
-                    F.sum(F.when(wins & ~dele & was, 1).otherwise(0)).alias("updated"),
-                    F.sum(F.when(wins & ~dele & ~was, 1).otherwise(0)).alias("inserted"),
-                    F.sum(F.when(wins & dele, 1).otherwise(0)).alias("deleted"),
-                    F.sum(F.when(~wins, 1).otherwise(0)).alias("stale"),
-                    F.min("_clsn").alias("min_lsn"),
-                    F.max("_clsn").alias("max_lsn"),
-                )
-                .collect()
-            )
+            audit_rows = guard_audit_rows(d)
             _mark("delta-stats")
-            audit_rows = [
-                {
-                    "bucket": r["bucket"],
-                    "updated": r["updated"] or 0, "inserted": r["inserted"] or 0,
-                    "deleted": r["deleted"] or 0, "stale": r["stale"] or 0,
-                    "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
-                }
-                for r in stats
-            ]
         audit = [
             {**row, "batch_id": batch_id, "snapshot_id": sid}
             for row in audit_rows

@@ -124,3 +124,74 @@ def test_patch_stream_kill_resume(spark, tmp_path):
     exp = expected_final_state(ev.toPandas())
     assert_states_equal(sink.read().toPandas(), exp)
     ev.unpersist()
+
+
+def test_langless_batch_patch_preserves_evolved_lang(spark, tmp_path):
+    """Review follow-up: a patch from a producer whose schema predates
+    the lang column must NOT wipe the stored lang — only a full write
+    from such a producer legitimately replaces the row (lang=null)."""
+    # batch 1: v2 writer sets lang
+    b1 = _ev(spark, [
+        (1, "a", "insert", [1, 2, 3], 3, "s", "en", 2, 1, None, None),
+        (1, "b", "insert", [9, 9], 2, "s", "de", 2, 2, None, None),
+    ])
+    sink = _replay(spark, b1, tmp_path, batch_size=10, name="t_lang")
+    # batch 2: v1 writer (no lang column) sends a token splice for a and
+    # a full write for b
+    b2 = spark.createDataFrame(
+        [(5, "a", "patch", [7], 1, "s", 1, 11, 1, 1),
+         (6, "b", "update", [4], 1, "s", 1, 12, None, None)],
+        "lsn long, doc_id string, op string, tokens array<int>, n_tok int, "
+        "source string, schema_version int, delivery_seq long, "
+        "patch_start int, patch_del int",
+    ).withColumn("ts", F.current_timestamp())
+    eng = ReplayEngine(spark, sink)
+    eng.replay(b1.drop("patch_start", "patch_del").unionByName(
+        b2, allowMissingColumns=True), batch_size=10)
+    got = {r["doc_id"]: r for r in sink.read().collect()}
+    assert got["a"]["tokens"] == [1, 7, 3]
+    assert got["a"]["lang"] == "en"        # patch preserved lang
+    assert got["b"]["tokens"] == [4]
+    assert got["b"]["lang"] is None        # full write replaced the row
+
+
+def test_flush_finalize_crash_window_heals(spark, tmp_path, monkeypatch):
+    """Review follow-up: a crash between the flush's pending-HEAD write
+    and mark_finalized must not leave the sink unflagged — the rerun's
+    early return re-asserts finalization, so a longer-log replay raises
+    instead of silently skipping events in the consumed slot."""
+    from opendataloader_pdf_spark.cdc.patches import PendingStore
+
+    ev = _ev(spark, [
+        (1, "a", "insert", [1], 1, "s", None, 1, 1, None, None),
+        # orphan patch: predecessor never arrives -> parks in pending
+        (9, "a", "patch", [5], 1, "s", None, 1, 9, 99, 0),
+    ])
+    sink = ParquetMergeSink(spark, str(tmp_path / "t_fl"), n_buckets=4)
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    # crash injection: mark_finalized dies on its first call
+    orig = PendingStore.mark_finalized
+    calls = []
+
+    def boom(self, batch_id):
+        calls.append(batch_id)
+        raise RuntimeError("injected crash before finalize")
+
+    monkeypatch.setattr(PendingStore, "mark_finalized", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        eng.replay(ev, batch_size=10)
+    monkeypatch.setattr(PendingStore, "mark_finalized", orig)
+    assert calls  # the crash fired inside the flush
+    ps = eng._pending_store()
+    assert ps.finalized_at() is None  # the window is open
+    # rerun: flush already consumed its slot -> early return must heal
+    eng2 = ReplayEngine(spark, sink)
+    eng2.replay(ev, batch_size=10)
+    assert eng2._pending_store().finalized_at() is not None
+    # longer log now raises instead of silently skipping slot events
+    longer = ev.unionByName(_ev(spark, [
+        (30, "a", "update", [8], 1, "s", None, 1, 30, None, None),
+    ]))
+    with pytest.raises(ValueError, match="finalized"):
+        ReplayEngine(spark, sink).replay(longer, batch_size=10)
