@@ -50,7 +50,8 @@ from pyspark.sql import functions as F
 
 def as_chunk_events(chunk: DataFrame, chunk_lsn: int,
                     delivery_seq: int, key: str = "doc_id",
-                    order: str = "lsn") -> DataFrame:
+                    order: str = "lsn",
+                    schema_version: int = 1) -> DataFrame:
     """Convert one backfill chunk (current upstream rows for a key
     slice, read at stream position ``chunk_lsn``) into upsert pseudo-
     events the replay engine applies like any batch.
@@ -63,13 +64,23 @@ def as_chunk_events(chunk: DataFrame, chunk_lsn: int,
     """
     payload = [c for c in chunk.columns
                if c not in (key, order, "op", "delivery_seq")]
-    return chunk.select(
+    out = chunk.select(
         F.col(key),
         F.lit(int(chunk_lsn)).cast("long").alias(order),
         F.lit("insert").alias("op"),
         *[F.col(c) for c in payload],
         F.lit(int(delivery_seq)).cast("long").alias("delivery_seq"),
     )
+    # stamp the event-contract columns a raw upstream select doesn't
+    # carry: a null schema_version would make invalid_event_cond flag
+    # EVERY chunk row as malformed, so --backfill-dir + --quarantine
+    # would silently dead-letter the entire onboarding
+    if "schema_version" not in out.columns:
+        out = out.withColumn("schema_version",
+                             F.lit(int(schema_version)).cast("int"))
+    if "ts" not in out.columns:
+        out = out.withColumn("ts", F.current_timestamp())
+    return out
 
 
 def interleave_backfill_log(stream: DataFrame,

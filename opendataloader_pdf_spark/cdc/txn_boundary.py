@@ -36,15 +36,23 @@ Scale notes
   No windows, no per-row Python.
 * State is O(open transactions + unretired markers), not O(events):
   released rows leave pending the batch they release, and
-  ``retain_horizon`` bounds BOTH state classes under the same
-  bounded-disorder contract as the engine's disorder watermark —
-  markers retire once no in-flight data row can still reference them
-  (lsn < max_seen - horizon, nothing pending), and pending transactions
-  whose EVERY data row sits below the floor expire to a per-batch
-  ``aborted/`` dead-letter (their marker can no longer arrive inside
-  the bound), so aborted/in-flight txns cannot grow state forever. A
-  data row arriving below the floor is surfaced in the ``late`` frame.
-  Nothing is ever silently dropped.
+  ``retain_horizon`` bounds BOTH state classes. The horizon's contract
+  is stronger than plain delivery disorder: it must be at least the
+  maximum TRANSACTION LSN SPAN (commit-record lsn minus the txn's first
+  data-row lsn — a long-running upstream transaction commits far above
+  the rows it wrote) PLUS the delivery-disorder bound. Under that
+  sizing, markers retire once no in-flight data row can still reference
+  them (lsn < max_seen - horizon, nothing pending), and pending
+  transactions whose EVERY data row sits below the floor expire to a
+  per-batch ``aborted/`` dead-letter — their marker can no longer
+  arrive inside the bound — so aborted/in-flight txns cannot grow
+  state forever. A transaction that exceeds the sized span is treated
+  as aborted but never lost: its rows sit in ``aborted/`` and an
+  operator can re-drive them (the DLQ workflow) once the late marker
+  shows up. A data row arriving below the floor is surfaced in the
+  ``late`` frame. Nothing is ever silently dropped. With
+  ``retain_horizon=None`` (the default) nothing expires and visibility
+  is exact for arbitrarily long transactions at O(all open txns) state.
 * Pending/commit state is checkpointed parquet + an atomically renamed
   HEAD (rerun-safe overwrite per batch id), mirroring PendingStore.
 """
@@ -175,7 +183,11 @@ class TxnBuffer:
     def _write_counted(df: DataFrame, path: str) -> int:
         import pyarrow.parquet as pq
 
-        df.coalesce(1).write.mode("overwrite").parquet(path)
+        # repartition, not coalesce: coalesce(1) would propagate up
+        # through the (shuffle-free) broadcast joins and run the whole
+        # batch scan+filter in ONE task; repartition keeps the upstream
+        # parallel and single-tasks only the tiny post-shuffle write
+        df.repartition(1).write.mode("overwrite").parquet(path)
         return sum(
             pq.read_metadata(os.path.join(path, f)).num_rows
             for f in os.listdir(path) if f.endswith(".parquet")

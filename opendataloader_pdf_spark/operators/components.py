@@ -131,13 +131,26 @@ def connected_components(
     owned = _ckpt_rdd_id(edges)
     fp = _fingerprint(edges)
     for _ in range(max_iter):
+        prev = edges
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         fresh = _ckpt_rdd_id(edges)
+        nfp = _fingerprint(edges)
+        converged = False
+        if nfp == fp:
+            # exactness backstop: the (count, hash-sum mod 2^31)
+            # fingerprint can collide between different edge sets
+            # (~2^-31/round); before declaring the fixpoint, prove set
+            # equality with ONE anti-join — counts already match via
+            # the fingerprint, so one-sided emptiness suffices. Runs
+            # only on fingerprint match, so steady-state rounds pay
+            # nothing extra.
+            converged = (
+                edges.join(prev, ["src", "dst"], "left_anti").count() == 0
+            )
         if owned is not None:
             jsc.unpersistRDD(owned, False)
         owned = fresh
-        nfp = _fingerprint(edges)
-        if nfp == fp:
+        if converged:
             break
         fp = nfp
     else:

@@ -101,9 +101,15 @@ def stack_levels(
 
 
 def _xy_cut(idx: np.ndarray, lx, rx, by, ty, min_gap: float, prefer_x: bool) -> list[int]:
-    """Recursive projection-profile cut; returns reading order of idx."""
-    if len(idx) <= 1:
-        return idx.tolist()
+    """Projection-profile cut; returns reading order of idx.
+
+    Iterative with an explicit work stack — the natural recursion has
+    worst-case depth O(n) (each cut may split off a single element,
+    e.g. monotonically growing gaps down a page), which blows Python's
+    ~1000-frame recursion limit long before the quadratic-matrix guard
+    at 10,000 rows would fire. The stack form emits the identical
+    order: left segment pushed last so it unwinds first.
+    """
 
     def gaps(lo: np.ndarray, hi: np.ndarray):
         order = np.argsort(lo, kind="stable")
@@ -113,27 +119,33 @@ def _xy_cut(idx: np.ndarray, lx, rx, by, ty, min_gap: float, prefer_x: bool) -> 
         cut_pos = np.nonzero(g >= min_gap)[0]
         return order, cut_pos, g
 
-    # evaluate both axes; cut on the axis with the LARGER qualifying gap
-    # (XYCutPlusPlusSorter density-ratio axis preference, :247-267);
-    # ties prefer y (top-to-bottom reading).
-    oy, cy, gy = gaps(-ty[idx], -by[idx])  # y: read top→bottom ⇒ desc top
-    ox, cx, gx = gaps(lx[idx], rx[idx])
-    best_y = gy[cy].max() if len(cy) else -1.0
-    best_x = gx[cx].max() if len(cx) else -1.0
-    if max(best_y, best_x) >= 0:
-        if (best_x > best_y) if not prefer_x else (best_x >= best_y):
-            order, cut_pos, g = ox, cx, gx
-        else:
-            order, cut_pos, g = oy, cy, gy
-        best = cut_pos[np.argmax(g[cut_pos])]
-        left = idx[order[: best + 1]]
-        right = idx[order[best + 1:]]
-        return _xy_cut(left, lx, rx, by, ty, min_gap, prefer_x) + _xy_cut(
-            right, lx, rx, by, ty, min_gap, prefer_x
-        )
-    # no cut on either axis: fall back to Y-then-X order
-    order = np.lexsort((lx[idx], -ty[idx]))
-    return idx[order].tolist()
+    out: list[int] = []
+    stack: list[np.ndarray] = [idx]
+    while stack:
+        cur = stack.pop()
+        if len(cur) <= 1:
+            out.extend(cur.tolist())
+            continue
+        # evaluate both axes; cut on the axis with the LARGER qualifying
+        # gap (XYCutPlusPlusSorter density-ratio axis preference,
+        # :247-267); ties prefer y (top-to-bottom reading).
+        oy, cy, gy = gaps(-ty[cur], -by[cur])  # y: top→bottom ⇒ desc top
+        ox, cx, gx = gaps(lx[cur], rx[cur])
+        best_y = gy[cy].max() if len(cy) else -1.0
+        best_x = gx[cx].max() if len(cx) else -1.0
+        if max(best_y, best_x) >= 0:
+            if (best_x > best_y) if not prefer_x else (best_x >= best_y):
+                order, cut_pos, g = ox, cx, gx
+            else:
+                order, cut_pos, g = oy, cy, gy
+            best = cut_pos[np.argmax(g[cut_pos])]
+            stack.append(cur[order[best + 1:]])   # right — unwinds second
+            stack.append(cur[order[: best + 1]])  # left — unwinds first
+            continue
+        # no cut on either axis: fall back to Y-then-X order
+        order = np.lexsort((lx[cur], -ty[cur]))
+        out.extend(cur[order].tolist())
+    return out
 
 
 def xy_cut_order(

@@ -61,6 +61,12 @@ def _linker(key_col: str, order_col: str, seq_col: str):
         import numpy as np
 
         rows = pd.concat(list(pdfs), ignore_index=True)
+        # malformed rows (null order/seq surface as NaN after the Arrow
+        # transfer) would crash the int64 conversion and abort the whole
+        # query; the linker's contract is continuity over WELL-FORMED
+        # sequence numbers, so they are ignored here (the ingest path's
+        # quarantine owns dead-lettering them)
+        rows = rows.dropna(subset=[order_col, seq_col])
         rows = rows.sort_values(order_col, kind="mergesort")
         order = rows[order_col].to_numpy("int64")
         seq = rows[seq_col].to_numpy("int64")

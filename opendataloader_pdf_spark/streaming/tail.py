@@ -96,8 +96,30 @@ def tail_available_now(
         PendingStore(spark, os.path.join(sink.root, "_pending"), key=sink.key)
         if getattr(sink, "root", None) else None
     )
+    # slot base: streaming epoch ids restart at 0 per checkpoint, but
+    # the sink manifest's batch_id namespace is shared with the batch
+    # ReplayEngine. Tailing a sink the batch engine already wrote (say
+    # to batch_id N) with a FRESH checkpoint would make merge() no-op
+    # epochs 0..N while the checkpoint still marks their files consumed
+    # — silent data loss. Pin slot = base + epoch with base fixed at
+    # CHECKPOINT creation (atomic SLOT_BASE file), so a resumed tail
+    # keeps its original mapping; a pre-existing checkpoint without the
+    # file keeps the legacy base of 0.
+    from opendataloader_pdf_spark.cdc.storage import _atomic_write
 
-    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+    base_path = os.path.join(checkpoint_dir, "SLOT_BASE")
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            slot_base = int(f.read().strip())
+    elif os.path.isdir(os.path.join(checkpoint_dir, "offsets")):
+        slot_base = 0  # legacy checkpoint predating SLOT_BASE
+    else:
+        slot_base = sink.last_batch_id() + 1 if sink.exists() else 0
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        _atomic_write(base_path, str(slot_base))
+
+    def apply_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        batch_id = slot_base + epoch_id  # manifest slot for this epoch
         from pyspark.sql import functions as F
 
         from opendataloader_pdf_spark.cdc.events import invalid_event_cond

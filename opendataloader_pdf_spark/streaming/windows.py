@@ -104,4 +104,14 @@ def run_windowed_activity(
         .start(out_dir, format="parquet")
     )
     q.awaitTermination()
-    return spark.read.parquet(out_dir)
+    # derive the result schema from the batch twin instead of inferring
+    # from files: a young log whose event-time span hasn't pushed the
+    # watermark past any window end finalizes NOTHING — the sink then
+    # holds only _spark_metadata, and schema inference would throw
+    # UNABLE_TO_INFER_SCHEMA instead of returning the documented empty
+    # frame ("the open tail is emitted by a later run").
+    result_schema = windowed_activity(
+        spark.createDataFrame([], event_schema),
+        window_size, watermark_delay,
+    ).schema
+    return spark.read.schema(result_schema).parquet(out_dir)

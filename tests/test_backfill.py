@@ -74,9 +74,11 @@ def test_chunk_event_projection_is_narrow(spark):
     )
     ev = as_chunk_events(chunk, chunk_lsn=5, delivery_seq=5)
     assert ev.columns == ["doc_id", "lsn", "op", "tokens", "n_tok",
-                          "delivery_seq"]
+                          "delivery_seq", "schema_version", "ts"]
     row = ev.collect()[0]
     assert row["op"] == "insert" and row["lsn"] == 5
+    # the event-contract stamp keeps chunks valid under quarantine mode
+    assert row["schema_version"] == 1 and row["ts"] is not None
     plan = ev._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
 

@@ -111,3 +111,38 @@ def test_tail_patch_stream_matches_fold_oracle(spark, tmp_path):
     eng.flush_pending(ev, max(applied) + 1)
     assert_states_equal(_final(sink), expected_final_state(ev.toPandas()))
     ev.unpersist()
+
+
+def test_tail_after_batch_replay_loses_nothing(spark, tmp_path):
+    """Review follow-up: streaming epochs restart at 0 per checkpoint,
+    but the manifest batch_id namespace is shared with the batch
+    engine. Tailing a batch-written sink with a FRESH checkpoint must
+    not no-op the first N epochs — the SLOT_BASE mapping pins each
+    epoch to a fresh manifest slot."""
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.cdc import ReplayEngine
+
+    ev = gen_change_events(spark, 4_000, 400, seed=23)
+    first = ev.filter(F.col("delivery_seq") < 2_000)
+    rest = ev.filter(F.col("delivery_seq") >= 2_000)
+
+    sink = ParquetMergeSink(spark, str(tmp_path / "tbl"), n_buckets=8)
+    eng = ReplayEngine(spark, sink)
+    eng.bootstrap(None)
+    # batch engine consumes slots 0..3 on the bounded prefix
+    eng.replay(first, batch_size=500)
+    assert sink.last_batch_id() >= 3
+
+    # the live tail takes over with a fresh checkpoint on the remainder
+    rest.repartition(6).write.mode("overwrite").parquet(
+        str(tmp_path / "more"))
+    applied = tail_available_now(
+        spark, str(tmp_path / "more"), sink, str(tmp_path / "ckpt"),
+        max_files_per_trigger=2,
+    )
+    assert len(applied) >= 2           # several epochs actually APPLIED
+    assert min(applied) > 3            # in fresh slots, none swallowed
+
+    ev_pdf = ev.toPandas()
+    assert_states_equal(_final(sink), expected_final_state(ev_pdf))

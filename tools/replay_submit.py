@@ -109,10 +109,14 @@ def main() -> None:
                         "atomically; buffer state checkpoints under "
                         "<table>/_txn_buffer and survives resubmission")
     p.add_argument("--txn-horizon", type=int, default=None,
-                   help="with --txn-boundary: retire commit markers "
-                        "older than max_lsn - HORIZON once nothing "
-                        "pends on them (bounded-disorder contract); "
-                        "late rows surface under the buffer's late/ dir")
+                   help="with --txn-boundary: bound buffer state by "
+                        "retiring markers and expiring wholly-below-"
+                        "floor pending txns at max_lsn - HORIZON. Size "
+                        "HORIZON >= max transaction LSN span (commit "
+                        "lsn - first data lsn) + delivery disorder; an "
+                        "over-long txn is surfaced under aborted/ (re-"
+                        "drivable), late rows under late/; default "
+                        "None = exact visibility, unbounded state")
     p.add_argument("--toast", action="store_true",
                    help="updates may carry tokens=NULL as an unchanged-"
                         "column sentinel (Postgres TOAST): carry the "
