@@ -155,10 +155,24 @@ def lm_score(
             ).alias("lp"),
         )
     )
-    return scored.groupBy(id_col).agg(
+    agg = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(-F.avg("lp"), 6).alias("cross_entropy"),
-    ).withColumn("keep", F.col("cross_entropy") < F.lit(keep_below))
+    )
+    # EVERY input doc gets a row: a doc with <2 words (or null text)
+    # produces no bigram via explode and would otherwise vanish from
+    # the output entirely — neither scored nor flagged — so a
+    # downstream keep-join would silently lose it. Unscorable docs get
+    # n_bigrams=0, null entropy, keep=false (no evidence → the filter's
+    # conservative drop; such docs fail any length gate anyway).
+    base = df.select(F.col(id_col)).distinct()
+    return base.join(agg, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+        F.col("cross_entropy"),
+        F.coalesce(F.col("cross_entropy") < F.lit(keep_below),
+                   F.lit(False)).alias("keep"),
+    )
 
 
 def bm25(
@@ -184,12 +198,23 @@ def bm25(
     is the tf aggregation keyed by (doc, term) — uniform by
     construction, since each doc contributes at most |query| keys.
     """
-    words = doc_words(df, id_col, text_col)
+    # cache: the split/normalize lineage otherwise recomputes for the
+    # count, the avgdl aggregate, the tf aggregate, and the stats join
+    # (4 corpus scans); same session-lifetime cache contract as
+    # ngram_jaccard_pairs
+    words = doc_words(df, id_col, text_col).cache()
     n_docs = words.count()
     stats = words.select(
         F.size("words").alias("dl"), F.col(id_col)
     )
     avgdl = stats.agg(F.avg("dl")).first()[0]
+    if not n_docs or avgdl is None:
+        # empty corpus / all-null text: a well-typed empty result, not
+        # a float(None) TypeError
+        id_type = df.schema[id_col].dataType.simpleString()
+        return df.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, score double, rk long"
+        )
     terms = [t.lower() for t in query_terms]
     tf = (
         words.select(F.col(id_col), F.explode("words").alias("t"))

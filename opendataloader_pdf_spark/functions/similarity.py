@@ -62,7 +62,11 @@ def text_shingles(col: Column, n: int = 3) -> Column:
         acc = F.zip_with(
             acc, F.slice(words, i + 1, m), lambda a, b: F.concat_ws(" ", a, b)
         )
-    return F.array_distinct(acc)
+    # empty/whitespace-only text: split('') yields [''] and the fold
+    # would emit a single "" shingle — which then matches every other
+    # blank doc (and a blank eval row would flag every blank corpus doc
+    # as contaminated). Blank text has ZERO shingles by contract.
+    return F.filter(F.array_distinct(acc), lambda s: s != F.lit(""))
 
 
 def shingle_hashes(col: Column, n: int = 3) -> Column:
@@ -156,9 +160,7 @@ def ngram_jaccard_pairs(
     negligible (birthday bound ~D²/2⁶⁵)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
-        F.explode(
-            F.transform(text_shingles(F.col(text_col), n), lambda s: F.xxhash64(s))
-        ).alias("sh"),
+        F.explode(shingle_hashes(F.col(text_col), n)).alias("sh"),
     ).cache()
     # df per shingle is a map-side-combinable agg over the CACHED frame
     # (one materialization feeds the df-agg, the size agg, and both join
@@ -186,9 +188,13 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    # NO broadcast hint on sizes: it has one row per corpus DOCUMENT —
+    # forcing a broadcast would collect the whole corpus id set to the
+    # driver at the billion-doc scale this function documents. AQE
+    # broadcasts it automatically when it is actually small.
     out = (
-        common.join(F.broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a")), "id_a")
-        .join(F.broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b")), "id_b")
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn("jaccard", F.round(F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -268,6 +274,13 @@ def _band_buckets(
     for the oracle-checkable variant)."""
     extra = extra_cols or []
     bhf = band_hash_fn or F.xxhash64
+    if k % bands:
+        raise ValueError(
+            f"bands={bands} does not divide k={k}: the trailing "
+            f"{k % bands} signature lanes would be computed but never "
+            f"hashed into any band, silently lowering recall below the "
+            f"configured signature size"
+        )
     rows_per_band = k // bands
     band_idx = F.sequence(F.lit(0), F.lit(bands - 1))
     banded = sig.select(

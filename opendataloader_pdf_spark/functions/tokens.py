@@ -103,7 +103,10 @@ def token_distinct_count(tokens: pd.Series) -> pd.Series:
     if not len(flat):
         return pd.Series(np.zeros(len(lengths), dtype=np.int32))
     row_ids = np.repeat(np.arange(len(lengths), dtype=np.int64), lengths)
-    key = (row_ids << 32) | flat  # token ids < 2^32
+    # mask to unsigned 32-bit: a NEGATIVE int32 token id sign-extends to
+    # 64 bits and its high bits clobber the row id, merging tokens
+    # across rows in the same Arrow batch
+    key = (row_ids << 32) | (flat.astype(np.int64) & 0xFFFFFFFF)
     order = np.argsort(key, kind="stable")
     sorted_key = key[order]
     first = np.concatenate(([True], np.diff(sorted_key) != 0))

@@ -44,8 +44,17 @@ def pack_offset(
     budget: int,
 ) -> DataFrame:
     """Contiguous-bin packing: adds ``pack_id`` (window index) and
-    ``pack_off`` (token offset inside the window) columns."""
-    w = Window.partitionBy(*part_cols).orderBy(order_col)
+    ``pack_off`` (token offset inside the window) columns.
+
+    ``order_col`` must be unique within a partition: the running sum
+    uses an explicit ROWS frame (the default RANGE frame would include
+    ORDER BY *peers*, so two docs tied on order_col would claim the
+    same offset and overflow the budget), and with ties the row order
+    itself — hence the offsets — would be nondeterministic."""
+    w = (
+        Window.partitionBy(*part_cols).orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.sum(len_col).over(w) - F.col(len_col)
     return df.withColumn(
         "pack_id", F.floor(start / F.lit(budget)).cast("long")
@@ -85,7 +94,12 @@ def pack_greedy(
     return df.groupBy(*part_cols).applyInPandas(pack, out_schema)
 
 
-def whitespace_token_count(text: Column) -> Column:
-    """JVM-side whitespace token count (matches DuckDB
-    ``length(regexp_split_to_array(trim(text), '\\s+'))``)."""
+def sql_split_token_count(text: Column) -> Column:
+    """JVM-side whitespace token count in SQL-split semantics — matches
+    DuckDB ``length(regexp_split_to_array(trim(text), '\\s+'))``, which
+    returns 1 for empty text (one empty segment). Deliberately named
+    apart from functions.text.whitespace_token_count, whose linguistic
+    semantics return 0 for empty/whitespace-only text: the two counts
+    differ exactly on blank docs, and packing oracles are written in
+    the SQL-split form."""
     return F.size(F.split(F.trim(text), r"\s+"))

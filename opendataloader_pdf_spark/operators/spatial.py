@@ -23,6 +23,21 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_inner(how: str) -> None:
+    """The bucket-prune + exact-refine shape only composes with
+    inner-family joins: a post-join filter silently drops the
+    null-extended rows an outer join preserves (outer would collapse to
+    inner), and crashes on semi/anti output that lacks the other side's
+    columns. Callers needing left-outer semantics should left-anti-join
+    the inner result back onto the probe side."""
+    if how not in ("inner", "cross"):
+        raise ValueError(
+            f"how={how!r} unsupported: the exact-predicate refinement "
+            "runs AFTER the bucket equi-join, which is only sound for "
+            "inner joins (see _check_inner)"
+        )
+
+
 def interval_containment_join(
     points: DataFrame,
     intervals: DataFrame,
@@ -41,6 +56,7 @@ def interval_containment_join(
     refines. Intervals spanning b buckets produce b candidate rows —
     choose bucket_width ≈ median interval length to keep b small.
     """
+    _check_inner(how)
     extra_on = extra_on or []
     p = points.withColumn("_b", F.floor(F.col(point_col) / F.lit(bucket_width)).cast("long"))
     iv = intervals.withColumn(
@@ -75,6 +91,8 @@ def interval_overlap_join(
     region starts there, inside both intervals). No dedup shuffle needed.
     This is the scale form of the reference's table-overlap rejection
     scan (A13, AbstractTableProcessor.java:63-82)."""
+    _check_inner(how)
+
     def bucketed(df, lo, hi):
         return df.withColumn(
             "_b",
@@ -120,6 +138,7 @@ def bbox_containment_join(
     the equi-join on the composite cell key prunes candidate pairs to
     co-located cells; exact predicates refine. Cell widths ≈ median box
     extent per axis keep the explosion factor small."""
+    _check_inner(how)
     extra_on = extra_on or []
     p = points.withColumn(
         "_bx", F.floor(F.col(x_col) / F.lit(x_width)).cast("long")

@@ -1106,7 +1106,7 @@ def p1_corpus_pipeline(spark, sf_dir):
     from opendataloader_pdf_spark.functions.sampling import hash_split
     from opendataloader_pdf_spark.operators.packing import (
         pack_greedy,
-        whitespace_token_count,
+        sql_split_token_count,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -1120,7 +1120,7 @@ def p1_corpus_pipeline(spark, sf_dir):
         d.filter(F.length(F.trim("text")) > 0)
         .join(losers, "doc_id", "left_anti")
         .select("source", "doc_id",
-                whitespace_token_count(F.col("text")).cast("long").alias("n_tok"))
+                sql_split_token_count(F.col("text")).cast("long").alias("n_tok"))
     )
     train = hash_split(keep, "doc_id",
                        {"train": 0.9, "val": 0.05, "test": 0.05},
@@ -3165,7 +3165,7 @@ def p0_full_assembly(spark, sf_dir):
 def t1_sequence_pack(spark, sf_dir):
     from opendataloader_pdf_spark.operators.packing import (
         pack_offset,
-        whitespace_token_count,
+        sql_split_token_count,
     )
 
     d = (
@@ -3173,7 +3173,7 @@ def t1_sequence_pack(spark, sf_dir):
         .filter(F.length(F.trim("text")) > 0)
         .select(
             "source", "doc_id",
-            whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+            sql_split_token_count(F.col("text")).cast("long").alias("n_tok"),
         )
     )
     packed = pack_offset(d, ["source"], "doc_id", "n_tok", budget=512)
@@ -3219,7 +3219,7 @@ def t1_sequence_pack(spark, sf_dir):
 def t2_pack_greedy(spark, sf_dir):
     from opendataloader_pdf_spark.operators.packing import (
         pack_greedy,
-        whitespace_token_count,
+        sql_split_token_count,
     )
 
     d = (
@@ -3227,7 +3227,7 @@ def t2_pack_greedy(spark, sf_dir):
         .filter(F.length(F.trim("text")) > 0)
         .select(
             "source", "doc_id",
-            whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+            sql_split_token_count(F.col("text")).cast("long").alias("n_tok"),
         )
     )
     packed = pack_greedy(d, ["source"], "doc_id", "n_tok", budget=512)

@@ -204,3 +204,89 @@ def test_diff_schemas_rejects_incompatible():
     # narrowing on the batch side is tolerated (reads widen by cast)
     out = diff_schemas(_st(("a", T.LongType())), _st(("a", T.IntegerType())))
     assert out["a"].dataType == T.LongType()
+
+
+def test_token_distinct_count_negative_ids(spark):
+    """Review follow-up: a negative int32 token id sign-extends and
+    clobbers the row id in the composite sort key, merging tokens
+    across rows in the same Arrow batch."""
+    from opendataloader_pdf_spark.functions.tokens import token_distinct_count
+
+    df = spark.createDataFrame(
+        [(1, [-1, -1]), (2, [-1, 5]), (3, [7])],
+        "id int, tokens array<int>",
+    ).coalesce(1)  # one Arrow batch: the collision preconditions
+    got = {r["id"]: r["n"] for r in
+           df.select("id", token_distinct_count("tokens").alias("n")).collect()}
+    assert got == {1: 1, 2: 2, 3: 1}
+
+
+def test_pack_offset_rows_frame_no_tied_overflow(spark):
+    """Review follow-up: the default RANGE window frame includes ORDER
+    BY peers, so tied order values claimed the same offset and
+    overflowed the budget; the explicit ROWS frame packs them
+    sequentially."""
+    from opendataloader_pdf_spark.operators.packing import pack_offset
+
+    df = spark.createDataFrame(
+        [("s", 1, 60, "a"), ("s", 1, 60, "b"), ("s", 2, 30, "c")],
+        "src string, ord int, n int, doc string",
+    )
+    out = pack_offset(df, ["src"], "ord", "n", budget=100)
+    offs = sorted((r["pack_id"], r["pack_off"]) for r in out.collect())
+    # 60+60+30 packs as [0..60), [60->overflow to pack 1 at 20), ...
+    assert offs == [(0, 0), (0, 60), (1, 20)]
+    # no two docs share (pack_id, pack_off)
+    assert len(set(offs)) == 3
+
+
+def test_blank_docs_have_zero_shingles_and_pass_decontamination(spark):
+    from opendataloader_pdf_spark.functions.similarity import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "the quick brown fox")],
+        "id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "")], "id long, text string")
+    got = {r["id"]: r for r in
+           decontaminate(docs, bench, "id", "text").collect()}
+    assert got[1]["n_sh"] == 0 and not got[1]["contaminated"]
+    assert got[2]["n_sh"] == 0 and not got[2]["contaminated"]
+    assert got[3]["n_sh"] > 0 and not got[3]["contaminated"]
+
+
+def test_lm_score_emits_short_docs(spark):
+    from opendataloader_pdf_spark.functions.lm import lm_score
+
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, None), (3, "a proper multi word document here "
+                                    "with repeated words here")],
+        "id long, text string",
+    )
+    got = {r["id"]: r for r in lm_score(docs, "id", "text").collect()}
+    assert set(got) == {1, 2, 3}          # nothing vanishes
+    assert got[1]["n_bigrams"] == 0 and not got[1]["keep"]
+    assert got[2]["n_bigrams"] == 0 and not got[2]["keep"]
+    assert got[3]["n_bigrams"] > 0
+
+
+def test_spatial_joins_refuse_outer_how(spark):
+    import pytest as _pytest
+
+    pts = spark.createDataFrame([(1.0,)], "x double")
+    iv = spark.createDataFrame([(0.0, 2.0)], "lo double, hi double")
+    with _pytest.raises(ValueError, match="inner"):
+        sp.interval_containment_join(pts, iv, "x", "lo", "hi",
+                                     bucket_width=1.0, how="left")
+
+
+def test_lsh_bands_must_divide_k(spark):
+    import pytest as _pytest
+
+    from opendataloader_pdf_spark.functions.similarity import (
+        minhash_lsh_candidates,
+    )
+
+    docs = spark.createDataFrame([(1, "a b c d e")], "id long, text string")
+    with _pytest.raises(ValueError, match="does not divide"):
+        minhash_lsh_candidates(docs, "id", "text", k=32, bands=5)

@@ -8,7 +8,7 @@ from pyspark.sql import functions as F
 from opendataloader_pdf_spark.operators.packing import (
     pack_greedy,
     pack_offset,
-    whitespace_token_count,
+    sql_split_token_count,
 )
 
 
@@ -20,7 +20,7 @@ def _docs(spark, sf_dir):
         .filter(F.length(F.trim("text")) > 0)
         .select(
             "source", "doc_id",
-            whitespace_token_count(F.col("text")).cast("long").alias("n_tok"),
+            sql_split_token_count(F.col("text")).cast("long").alias("n_tok"),
         )
     )
 
