@@ -99,11 +99,22 @@ def probe_positions(spark, keys: list, key_type, bits: int, k: int
     return {r["k"]: list(r["ps"]) for r in rows}
 
 
-def may_contain(bloom: dict, positions: list[int]) -> bool:
+def may_contain(bloom: dict, positions: list[int],
+                bits: int | None = None) -> bool:
     """Driver-side membership test against a manifest bloom entry.
     Position lists computed under a different (bits, k) geometry don't
-    apply — err on "maybe" (read the file) rather than guess."""
+    apply — err on "maybe" (read the file) rather than guess: testing
+    the wrong bits could return a false "absent", the one failure a
+    bloom must never produce. Pass ``bits`` (the geometry the positions
+    were computed under) so a mismatch with the stored bloom's geometry
+    is detectable in BOTH directions; without it, only oversized
+    positions (probe bits > bloom bits) can be caught."""
     if bloom.get("k") != len(positions):
+        return True
+    if bits is not None and bloom.get("bits") not in (None, bits):
+        return True
+    stored_bits = bloom.get("bits")
+    if stored_bits is not None and any(p >= stored_bits for p in positions):
         return True
     buf = bytes.fromhex(bloom["hex"])
     return all(buf[p >> 3] & (1 << (p & 7)) for p in positions)

@@ -142,6 +142,19 @@ def render_envelopes(
     ``value`` (for tests/harnesses that key per-row fault injection off
     the LSN; a real wire stream is value-only).
     """
+    # refuse patch events up front (the redrive.py precedent): the wire
+    # image struct carries no patch_start/patch_del, so a rendered
+    # 'p' envelope would parse back with its splice offsets already
+    # lost — silent, unrecoverable corruption of the patch stream. A
+    # wire format for splices must extend IMAGE_SCHEMA first.
+    if "op" in events.columns:
+        n_patch = events.filter(F.col("op") == "patch").limit(1).count()
+        if n_patch:
+            raise ValueError(
+                "render_envelopes cannot serialize op='patch' events: "
+                "the wire image schema has no splice fields, so the "
+                "patch offsets would be lost at render time"
+            )
     image = F.struct(
         F.col("doc_id"),
         F.col("tokens"),
@@ -154,7 +167,14 @@ def render_envelopes(
     is_del = F.col("op") == "delete"
     env = F.struct(
         F.element_at(_op_map_expr(_ENGINE_TO_OP), F.col("op")).alias("op"),
-        (F.unix_timestamp("ts") * 1000).alias("ts_ms"),
+        # unix_millis, not unix_timestamp*1000: the latter truncates to
+        # SECOND precision, so parse(render(ev)) would silently drift a
+        # sub-second ts by up to 999 ms — breaking the documented
+        # render/parse inverse
+        # cast: unix_millis requires TIMESTAMP and the event ts may be
+        # TIMESTAMP_NTZ (parquet default); session-tz interpretation is
+        # symmetric with the parse side's cast back
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
         F.when(is_del, image.cast(IMAGE_SCHEMA)).otherwise(null_image)
         .alias("before"),
         F.when(is_del, null_image).otherwise(image.cast(IMAGE_SCHEMA))

@@ -153,7 +153,8 @@ class MergeOnReadSink(ParquetMergeSink):
                 out.append(d)
                 continue
             by_key = pos[(bl["bits"], bl["k"])]
-            if any(may_contain(bl, by_key[k]) for k in keys):
+            if any(may_contain(bl, by_key[k], bits=bl["bits"])
+                   for k in keys):
                 out.append(d)
         return out
 

@@ -47,7 +47,7 @@ from pyspark.sql import functions as F
 
 from opendataloader_pdf_spark.cdc.events import (
     invalid_event_cond,
-    reduce_batch,
+    last_writer_wins,
 )
 from opendataloader_pdf_spark.cdc.storage import ParquetMergeSink
 
@@ -107,10 +107,16 @@ def redrive_quarantine(
 
     q = spark.read.parquet(qdir)
     out["read"] = q.count()
-    r = repair(q) if repair is not None else q
+    # cache the repaired frame: ~6 downstream actions (counts, the
+    # MERGE, the residual/archive writes) would otherwise re-read the
+    # quarantine and re-run the user repair end-to-end each time — and
+    # a non-deterministic repair could make the merged, counted, and
+    # archived row sets DISAGREE, breaking the exactly-once accounting
+    r = (repair(q) if repair is not None else q).cache()
     missing = {sink.key, sink.order, "op", "delivery_seq",
                "schema_version"} - set(r.columns)
     if missing:
+        r.unpersist()
         raise ValueError(f"repair dropped contract columns: {sorted(missing)}")
 
     bad_cond = invalid_event_cond(sink.key, sink.order)
@@ -136,22 +142,27 @@ def redrive_quarantine(
                              f"commit={bid}"))
         fixed = fixed.filter(~expired_cond)
 
-    if "patch_start" in fixed.columns:
-        n_patch = fixed.filter(F.col("op") == "patch").count()
-        if n_patch:
-            # a splice applies onto the CURRENT row via the engine's
-            # LSN-fold, not a plain LWW merge — re-driving one here would
-            # overwrite the full token array with the splice payload
-            raise ValueError(
-                f"{n_patch} repaired rows carry op='patch'; re-drive "
-                "patch events through ReplayEngine against the live "
-                "stream ordering instead (a bare MERGE would clobber "
-                "the spliced arrays)"
-            )
+    # UNCONDITIONAL op check (op is a guaranteed contract column): a
+    # repair that drops patch_start must not slip its patch rows past
+    # this guard — a splice applies onto the CURRENT row via the
+    # engine's LSN-fold, not a plain LWW merge, so re-driving one here
+    # would overwrite the full token array with the splice payload
+    n_patch = fixed.filter(F.col("op") == "patch").count()
+    if n_patch:
+        raise ValueError(
+            f"{n_patch} repaired rows carry op='patch'; re-drive "
+            "patch events through ReplayEngine against the live "
+            "stream ordering instead (a bare MERGE would clobber "
+            "the spliced arrays)"
+        )
     drop = [c for c in
             _NON_PAYLOAD + ("delivery_seq", "patch_start", "patch_del")
             if c in fixed.columns]
-    red = reduce_batch(fixed.drop(*drop))
+    # reduce under the SINK's key/order, not the defaults — the
+    # contract check above validates sink.key/sink.order, so the
+    # reduction must group by the same columns
+    red = last_writer_wins(fixed.drop(*drop), key=sink.key,
+                           order=sink.order)
     n_fixed = red.count()
     out["repaired"] = n_fixed
     if n_fixed:
@@ -184,4 +195,5 @@ def redrive_quarantine(
         shutil.rmtree(archive)  # crashed attempt of this same commit id
     os.rename(qdir, archive)
     os.rename(tmp, qdir)
+    r.unpersist()
     return out

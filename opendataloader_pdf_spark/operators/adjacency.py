@@ -66,9 +66,20 @@ def proximity_score(
     label_col: str = "linked",
 ) -> DataFrame:
     """Score each row against its previous and next neighbor; attach the
-    winning direction ('prev'/'next') when the best score ≥ threshold."""
+    winning direction ('prev'/'next') when the best score ≥ threshold.
+
+    Null-safe on either score (lag/lead are null at partition
+    boundaries): a missing neighbor can never be the winning direction —
+    without the explicit null branches, ``score_prev >= null`` is SQL
+    null and the when() would fall through to 'next' for a last row
+    whose next neighbor does not exist."""
     best = F.greatest(score_prev, score_next)
-    direction = F.when(score_prev >= score_next, F.lit("prev")).otherwise(F.lit("next"))
+    direction = (
+        F.when(score_next.isNull(), F.lit("prev"))
+        .when(score_prev.isNull(), F.lit("next"))
+        .when(score_prev >= score_next, F.lit("prev"))
+        .otherwise(F.lit("next"))
+    )
     return df.withColumn(
         label_col, F.when(best >= threshold, direction)
     ).withColumn(f"{label_col}_score", F.round(best, 6))

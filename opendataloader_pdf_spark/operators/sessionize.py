@@ -30,8 +30,14 @@ def assign_segments(
 ) -> DataFrame:
     """Add a running segment id that increments whenever
     ``new_segment_when`` (a predicate usually built from lag()) is true.
-    The first row of each partition always starts segment 0."""
-    w = Window.partitionBy(*partition).orderBy(order)
+
+    The first segment's id depends on the predicate's value at the
+    partition's first row: a boundary predicate that is TRUE there
+    (e.g. ``lag(..).isNull() | gap``) starts ids at 1, one that is
+    FALSE (e.g. ``~eqNullSafe(lag(..), col)`` on a null-leading
+    partition) starts at 0 — consumers must treat ids as ordinals
+    WITHIN a partition, not compare them across partitions or assume a
+    fixed first id."""
     flag = F.when(new_segment_when, 1).otherwise(0)
     run = Window.partitionBy(*partition).orderBy(order).rowsBetween(
         Window.unboundedPreceding, 0

@@ -51,8 +51,31 @@ def mode_weight_stats(
     return freq.withColumn("boost", F.round(boost, 6))
 
 
-def style_levels(df: DataFrame, style_cols: list[Column], level_col: str = "level") -> DataFrame:
-    """Assign hierarchy level 1..n by descending style order across the
-    whole frame (global dense_rank over the distinct style tuples)."""
-    w = Window.orderBy(*style_cols)
-    return df.withColumn(level_col, F.dense_rank().over(w))
+def style_levels(df: DataFrame, style_cols: list[Column | str],
+                 level_col: str = "level",
+                 ascending: bool = True) -> DataFrame:
+    """Assign hierarchy level 1..n by global style order across the
+    whole frame.
+
+    ``style_cols`` are VALUE columns/expressions (not SortOrders);
+    ``ascending`` picks the rank direction. The global dense_rank runs
+    over the DISTINCT style-tuple domain (tiny: distinct styles, not
+    rows) and the level joins back to the fact rows via broadcast —
+    ranking the fact frame directly would funnel EVERY row through one
+    no-partition window task (Spark warns 'No Partition Defined for
+    Window operation')."""
+    keys = [c if isinstance(c, Column) else F.col(c) for c in style_cols]
+    named = [k.alias(f"_s{i}") for i, k in enumerate(keys)]
+    domain = df.select(*named).distinct()
+    order = [
+        F.col(f"_s{i}") if ascending else F.col(f"_s{i}").desc()
+        for i in range(len(keys))
+    ]
+    ranked = domain.withColumn(level_col, F.dense_rank().over(
+        Window.orderBy(*order)))
+    cond = None
+    for i, k in enumerate(keys):
+        c = k.eqNullSafe(F.col(f"_s{i}"))
+        cond = c if cond is None else (cond & c)
+    out = df.join(F.broadcast(ranked), on=cond, how="left")
+    return out.drop(*[f"_s{i}" for i in range(len(keys))])

@@ -393,7 +393,7 @@ def a3_mode_stats(spark, sf_dir):
 )
 def a5_style_levels(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(F.col("o_orderpriority").alias("style")).distinct()
-    return st.style_levels(o, [F.asc("style")]).withColumn("level", F.col("level").cast("long"))
+    return st.style_levels(o, [F.col("style")]).withColumn("level", F.col("level").cast("long"))
 
 
 # =====================================================================

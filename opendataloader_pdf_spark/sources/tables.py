@@ -74,5 +74,11 @@ def scan_events(spark: SparkSession, sf_dir: str,
 
     ev = load_table(spark, sf_dir, "events")
     if filter_invisible:
-        ev = ev.where(~F.col("event_type").isin(*invisible_types))
+        # null-safe: `~isin` is SQL null for a null event_type and
+        # where() drops null — the option skips only the NAMED invisible
+        # layers, never null-typed rows
+        ev = ev.where(
+            F.col("event_type").isNull()
+            | ~F.col("event_type").isin(*invisible_types)
+        )
     return ev
