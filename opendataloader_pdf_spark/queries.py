@@ -7279,111 +7279,40 @@ def cdc_consumer_lag(spark, sf_dir):
 # Driver-gate ordering
 # =====================================================================
 # The harness's CORRECTNESS gate checks the catalog in dict order and
-# caps at ~50 entries per round (rounds 2 and 3 each recorded exactly
-# the first 50). Round-4 rotation (VERDICT r3 task #1): FIRST this
-# round's new/changed entries (ivf_topk_checkable, ann_recall, the
-# audio-decode upgrade, and w2_watermark_late_data whose oracle gained
-# the admission-boundary sentinels), THEN every entry absent from
-# CORRECTNESS_r03 — i.e. the 43 rotated-out r02 greens — so the
-# r03 ∪ r04 driver files certify the whole catalog on round-4 code.
-# Everything past the cap has a strict green row in CORRECTNESS_r03.
+# caps at ~50 entries per round. Round-5 rotation (VERDICT r4 task #1,
+# final round): FIRST the exactly-18 entries whose latest driver row is
+# CORRECTNESS_r02 — recomputed at round-5 start as
+# set(catalog) − (r03 ∪ r04) — so CORRECTNESS_r05 refreshes them on
+# final-round code and r03 ∪ r04 ∪ r05 certifies the whole catalog.
+# THEN entries added or touched in round 5. The remaining window slots
+# go to the flagship/bench heads (all r04-green; re-gating them on
+# final code is free certification). Everything past the cap has a
+# strict green row in CORRECTNESS_r03 or _r04.
 _GATE_PRIORITY = [
-    # -- new or changed this round --
-    "cdc_envelope_parse", "cdc_envelope_replay", "cdc_lsn_gap_audit",
-    "cdc_snapshot_handoff", "cdc_offset_tail",
-    "ivf_topk_checkable", "ann_recall", "multimodal_audio_decode",
-    "multimodal_video_decode", "o2_xy_cut_checkable",
-    "cdc_point_lookup", "cdc_ddl_stream", "cdc_ddl_timeline",
-    "cdc_bloom_lookup", "cdc_vacuum_retention", "cdc_quarantine_redrive",
-    "cdc_mor_compact", "cdc_replica_sync", "cdc_rescale_midstream",
-    "cdc_txn_boundary", "cdc_toast_coalesce",
-    "cdc_scd2_history", "cdc_pk_change", "cdc_chunked_backfill",
-    "cdc_consumer_lag",
-    # -- absent from CORRECTNESS_r03 (r02 greens rotated out there) --
+    # -- the 18 r02-stale entries (rotate back first; VERDICT r4 #1) --
+    "a12_existence_prune", "a16_distinct_runs", "a5_style_levels",
+    "cdc_lineage_metrics", "embedding_near_dup", "f3_decoration_filter",
+    "f8_fingerprint_tokens", "j1_interval_containment",
+    "j2_proximity_score", "j3_rank_k_repeats", "k3_html_render",
+    "k4_text_lines", "o1_multikey_rank", "o2_xy_cut_order",
+    "scalar_string_family", "set_union_by_name", "split_assign",
+    "w1_windowed_activity",
+    # -- new in round 5 --
+    "cdc_full_lifecycle",
+    # -- flagship / bench heads, re-certified on final-round code --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
-    "f2_dedup_lww", "dedup_exact", "cosine_topk", "token_pipeline",
-    "token_splice", "decontaminate",
-    "embedding_near_dup_lsh", "mixture_sample",
-    "vocab_stats", "asof_join_last_order",
-    "f_filter_stack",
-    "text_langid_quality", "a1_sessionize_gap", "a2_fold_paragraphs",
-    "a3_mode_stats", "a4_heading_classify",
-    "a6_fixpoint_depth", "a14_special_split",
-    "a15_stack_levels",
-    "j4_neighbor_links",
-    "j7_anti_join", "k2_markdown_render",
-    # Displaced past the ~50-row window to make room for the new
-    # wire-format/audit/offset/video/point-lookup/in-stream-DDL
-    # entries above: k3_html_render and k4_text_lines (r02 greens —
-    # one-expression render twins of k2_markdown_render, which STAYS
-    # in-window to certify the shared render scaffold; both untouched
-    # since round 2 and strict-PASS under tools/check_oracles on
-    # current code), plus the
-    # former r03-green buffer (lsh_topk, cdc_txn_publish,
-    # cdc_wap_publish — already driver-certified on round-3+ code),
-    # w2_watermark_late_data (r03-green; its round-4 oracle hardening
-    # — boundary sentinels at off 559/563 per ADVICE — is certified by
-    # check_oracles + test_streaming_windows on current code, so its
-    # window slot went to the brand-new o2_xy_cut_checkable, which had
-    # NO driver record at all), o2_xy_cut_order (oracle-less, so its
-    # driver row is the weak rows-only check — its real gate is the
-    # r02 rows record plus the six pytest geometry cases), plus
-    # set_union_by_name, o1_multikey_rank, and scalar_string_family
-    # (r02 greens with trivial, untouched scalar/set semantics). They
-    # rotate back first in round 5.
-    # a5_style_levels (r02 green; its stats-family sibling a3_mode_stats
-    # keeps an in-window slot and both are untouched operators/stats.py
-    # aggs, strict-PASS under tools/check_oracles on current code) —
-    # displaced for the brand-new cdc_quarantine_redrive
-    "a5_style_levels",
-    "w2_watermark_late_data",
-    "o2_xy_cut_order",
-    "set_union_by_name", "o1_multikey_rank", "scalar_string_family",
-    "lsh_topk", "cdc_txn_publish", "cdc_wap_publish",
-    "k3_html_render", "k4_text_lines",
-    # w1_windowed_activity (r02 green; its lateness/finality sibling
-    # w2 carries the streaming risk and w1's tumbling-window agg is
-    # pinned by tests/test_streaming_windows + check_oracles on
-    # current code) — displaced for the brand-new cdc_bloom_lookup;
-    # cdc_lineage_metrics (r02 green; the audit/lineage write path it
-    # gates runs inside EVERY engine-replay entry above and is
-    # asserted per-batch by tests/test_replay_smoke + test_mor_sink)
-    # — displaced for the brand-new cdc_vacuum_retention
-    "w1_windowed_activity", "cdc_lineage_metrics",
-    # embedding_near_dup (r02 green; documented brute-force baseline —
-    # its scale path embedding_near_dup_lsh KEEPS an in-window slot),
-    # split_assign (r02 green; shares the md5-bucket assignment core
-    # with mixture_sample, which stays in-window), and j3_rank_k_repeats
-    # (r02 green; adjacency-family siblings j2/j4 stay in-window, all
-    # three built on operators/adjacency.py) — displaced so the three
-    # late-round lifecycle entries cdc_mor_compact / cdc_replica_sync /
-    # cdc_rescale_midstream, which had NO driver record in any round,
-    # enter the round-4 window. All three displaced entries are
-    # strict-PASS under tools/check_oracles on current code and rotate
-    # back first in round 5.
-    "embedding_near_dup", "split_assign", "j3_rank_k_repeats",
-    # f3_decoration_filter (r02 green; the filter-pipeline scaffold it
-    # shares stays certified by in-window f_filter_stack) — displaced
-    # for the brand-new cdc_txn_boundary entry
-    "f3_decoration_filter",
-    # a16_distinct_runs (r02 green; sessionize.py sibling a1 stays
-    # in-window) — displaced for the brand-new cdc_toast_coalesce
-    "a16_distinct_runs",
-    # j1_interval_containment (r02 green; its spatial.py sibling
-    # j1_bbox_containment is r03-green on the same grid-bucket core) and
-    # a12_existence_prune (r02 green; relational.py sibling j7_anti_join
-    # stays in-window) — displaced for the brand-new cdc_scd2_history
-    # and cdc_pk_change
-    "j1_interval_containment", "a12_existence_prune",
-    # j2_proximity_score (r02 green; adjacency.py sibling j4 stays
-    # in-window) — displaced for the brand-new cdc_chunked_backfill
-    "j2_proximity_score",
-    # f8_fingerprint_tokens (r02 green; the token-fingerprint scaffold
-    # it gates runs inside EVERY engine entry's output projection above)
-    # — displaced for the brand-new cdc_consumer_lag
-    "f8_fingerprint_tokens",
+    "p1_corpus_pipeline", "f_filter_stack", "f2_dedup_lww",
+    "dedup_exact", "dedup_components", "cosine_topk", "ann_recall",
+    "ivf_topk_checkable", "minhash_dedup_checkable",
+    "minhash_incremental", "ngram_jaccard_pairs", "exact_substring_dup",
+    "simhash_docs", "decontaminate", "embedding_near_dup_lsh",
+    "token_pipeline", "token_splice", "text_langid_quality",
+    "t1_sequence_pack", "cdc_envelope_replay", "cdc_txn_boundary",
+    "cdc_toast_coalesce", "cdc_scd2_history", "cdc_chunked_backfill",
+    "cdc_mor_compact", "cdc_offset_tail", "cdc_consumer_lag",
+    "multimodal_decode",
 ]
-_reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
+_reordered = {n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
 assert len(_reordered) == len(QUERIES)
 QUERIES.clear()

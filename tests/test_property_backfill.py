@@ -42,7 +42,9 @@ def backfill_cases(draw):
                        else draw(st.lists(st.integers(0, 99), max_size=3))),
         })
     s0 = draw(st.integers(0, n - 2))
-    n_chunks = draw(st.integers(1, 3))
+    # (s0, n) holds only n - 1 - s0 distinct positions, so a late s0
+    # cannot support 3 unique chunk positions — bound the draw by it
+    n_chunks = draw(st.integers(1, min(3, n - 1 - s0)))
     # strictly increasing chunk positions in (s0, n)
     positions = sorted(draw(st.sets(st.integers(s0 + 1, n - 1),
                                     min_size=n_chunks, max_size=n_chunks)))
