@@ -7275,6 +7275,317 @@ def cdc_consumer_lag(spark, sf_dir):
     )
 
 
+
+
+@register(
+    "cdc_full_lifecycle",
+    f"""
+    WITH b AS (
+      SELECT max(event_id) AS mx,
+             max(event_id) // 3 AS s0,
+             (2 * max(event_id)) // 3 AS cut
+      FROM events
+    ), bb AS (
+      SELECT mx, s0, cut,
+             ((s0 + (cut - s0) // 2) // 16) * 16 - 1 AS c
+      FROM b
+    ), raw AS (
+      SELECT 'd' || e.user_id::VARCHAR AS doc_id,
+             e.event_id AS lsn,
+             e.event_id // 16 AS txn_id,
+             e.user_id % 2 = 0 AS deldoc,
+             CASE WHEN e.user_id % 2 = 0 AND e.event_id >= bb.cut
+                       AND e.event_id % 29 = 0 THEN 'bogus'
+                  WHEN e.user_id % 2 = 0 AND e.event_type = 'purchase'
+                       THEN 'delete'
+                  ELSE 'update' END AS op0,
+             e.user_id AS uid, bb.s0, bb.cut, bb.c
+      FROM events e, bb
+    ), ev AS (
+      SELECT doc_id, lsn, txn_id, op0,
+             CASE WHEN op0 = 'delete'
+                    OR (op0 = 'update' AND NOT deldoc
+                        AND lsn >= cut AND lsn % 3 = 0)
+                  THEN NULL
+                  ELSE [(lsn % 101)::INT, (uid % 47)::INT] END AS tokens,
+             s0, cut, c
+      FROM raw
+    ), chunkstate AS (
+      -- the chunk is a bounded SELECT of upstream truth at position c:
+      -- pre-subscription history plus stream txns fully committed by c
+      -- (c is txn-window-aligned minus one, so no txn straddles it)
+      SELECT doc_id, arg_max(op0, lsn) AS wop, arg_max(tokens, lsn) AS wtok
+      FROM ev WHERE lsn <= s0 OR (lsn <= c AND txn_id % 7 != 0)
+      GROUP BY doc_id
+    ), chunk_ev AS (
+      SELECT cs.doc_id, bb.c AS lsn, 'update' AS op, cs.wtok AS tokens
+      FROM chunkstate cs, bb WHERE cs.wop != 'delete'
+    ), stream_ev AS (
+      -- lake-visible stream events: committed txns only; bogus rows
+      -- surface only where the re-drive repair recovers them (even lsn)
+      SELECT doc_id, lsn,
+             CASE WHEN op0 = 'bogus' THEN 'update' ELSE op0 END AS op,
+             tokens
+      FROM ev
+      WHERE lsn > s0 AND txn_id % 7 != 0
+        AND NOT (op0 = 'bogus' AND lsn % 2 = 1)
+    ), vis AS (
+      SELECT * FROM chunk_ev UNION ALL SELECT * FROM stream_ev
+    ), s AS (
+      SELECT doc_id, max(lsn) AS lsn, arg_max(op, lsn) AS op
+      FROM vis GROUP BY doc_id
+    ), img AS (
+      SELECT doc_id,
+             max_by(tokens, lsn) FILTER (WHERE tokens IS NOT NULL) AS tokens
+      FROM vis GROUP BY doc_id
+    ), final AS (
+      SELECT s.doc_id, s.lsn, img.tokens
+      FROM s JOIN img USING (doc_id)
+      WHERE s.op != 'delete' AND img.tokens IS NOT NULL
+    )
+    SELECT doc_id, lsn, len(tokens)::INT AS n_out,
+           {_FP_SQL} AS fp
+    FROM final
+    """,
+    doc="Composed CDC lifecycle: FOUR round-4 modes interleaved on ONE "
+        "sink against ONE LWW-fold oracle (VERDICT r4 task #5 — the "
+        "interactions are where latent bugs hide). The wire: a tail "
+        "subscribes mid-log at s0, so history below s0 reaches the lake "
+        "only via a DBLog backfill chunk read at txn-aligned position c "
+        "(cdc/backfill.py) interleaved into wave-1 replay; the stream "
+        "is txn-framed with commit markers (cdc/txn_boundary.py "
+        "TxnBuffer) and cut mid-transaction, so straddling txns buffer "
+        "across the wave boundary and never-committed txns stay held; "
+        "wave-2 updates on the non-deletable doc half carry TOAST "
+        "null-token sentinels resolved by reduce_batch_toast + "
+        "resolve_toast against the post-wave-1 table (cdc/toast.py); "
+        "wave-2 also carries unknown-op rows that the engine "
+        "quarantines and redrive_quarantine repairs (even lsn) and "
+        "re-injects under the LSN guard, archiving the dead letters "
+        "(cdc/redrive.py). Mode interactions exercised: chunk-vs-stream "
+        "arbitration in one batch (value-identical tie at c), toast "
+        "rows inside straddling buffered txns, bogus rows released "
+        "only when their txn commits, repaired rows arbitrated against "
+        "post-toast state. Deliberately fenced: bogus rows live only "
+        "on the deletable doc half — a re-driven row can postdate a "
+        "toast sentinel that already resolved against pre-redrive "
+        "images, so dead-letter re-drives must be fenced from toast-"
+        "sentinel docs (or re-driven through the toast resolve path); "
+        "the fence is the documented operational contract, asserted by "
+        "construction here. Oracle = LWW fold + latest-non-null image "
+        "over (chunk-event ∪ committed-visible stream) — equal iff all "
+        "four visibility rules compose exactly. Runtime-asserts: "
+        "straddlers exist, none leak into wave 1 and they release in "
+        "wave 2; held == uncommitted rows; toast sentinels engaged and "
+        "violations match the relational expectation; quarantine count "
+        "== released bogus; redrive read/residual/archive counts. "
+        "Scale: every mode keeps its standalone plan shape (broadcast "
+        "semi/anti txn split, one combinable toast reduction + "
+        "broadcast completion, O(1) backfill state, O(dead-letter) "
+        "redrive) — composition adds no new shuffle.",
+)
+def cdc_full_lifecycle(spark, sf_dir):
+    import os as _os
+    import shutil as _sh
+
+    from opendataloader_pdf_spark.cdc import (
+        ParquetMergeSink,
+        ReplayEngine,
+        redrive_quarantine,
+    )
+    from opendataloader_pdf_spark.cdc.backfill import interleave_backfill_log
+    from opendataloader_pdf_spark.cdc.events import last_writer_wins
+    from opendataloader_pdf_spark.cdc.toast import (
+        reduce_batch_toast,
+        resolve_toast,
+    )
+    from opendataloader_pdf_spark.cdc.txn_boundary import (
+        TxnBuffer,
+        frame_transactions,
+    )
+    from opendataloader_pdf_spark.functions import tokens as TK
+
+    ev = _t(spark, sf_dir, "events")
+    mx = int(ev.agg(F.max("event_id")).collect()[0][0])
+    s0 = mx // 3
+    cut = (2 * mx) // 3
+    c = ((s0 + (cut - s0) // 2) // 16) * 16 - 1
+    B = mx + 2
+
+    deldoc = F.col("user_id") % 2 == 0
+    is_bogus = deldoc & (F.col("event_id") >= cut) & (F.col("event_id") % 29 == 0)
+    op = (
+        F.when(is_bogus, F.lit("bogus"))
+        .when(deldoc & (F.col("event_type") == "purchase"), F.lit("delete"))
+        .otherwise(F.lit("update"))
+    )
+    toast = (op == "update") & ~deldoc & (F.col("event_id") >= cut) & (
+        F.col("event_id") % 3 == 0
+    )
+    null_tok = (op == "delete") | toast
+    ch = ev.select(
+        F.concat(F.lit("d"), F.col("user_id").cast("string")).alias("doc_id"),
+        F.col("event_id").alias("lsn"),
+        op.alias("op"),
+        F.when(null_tok, F.lit(None).cast("array<int>"))
+        .otherwise(F.array((F.col("event_id") % 101).cast("int"),
+                           (F.col("user_id") % 47).cast("int"))).alias("tokens"),
+        F.when(null_tok, F.lit(None).cast("int"))
+        .otherwise(F.lit(2)).alias("n_tok"),
+        F.col("event_type").alias("source"),
+        F.lit(1).cast("int").alias("schema_version"),
+        F.col("ts"),
+        F.col("event_id").alias("delivery_seq"),
+        F.floor(F.col("event_id") / 16).cast("long").alias("txn_id"),
+    )
+
+    # -- backfill chunk: upstream truth at position c -----------------
+    chunkvis = ch.filter(
+        (F.col("lsn") <= s0)
+        | ((F.col("lsn") <= c) & (F.col("txn_id") % 7 != 0))
+    ).drop("delivery_seq", "txn_id")
+    chunk_df = (
+        last_writer_wins(chunkvis)
+        .filter(F.col("op") != "delete")
+        .drop("op", "lsn")
+    )
+    if chunk_df.count() == 0:
+        raise AssertionError("backfill chunk is empty")
+
+    # -- txn framing + wave cut ---------------------------------------
+    stream = ch.filter(F.col("lsn") > s0)
+    framed = frame_transactions(stream, commit_every=7)
+    wave1 = framed.filter(F.col("lsn") < cut)
+    wave2 = framed.filter(F.col("lsn") >= cut)
+    spans = (
+        stream.groupBy("txn_id")
+        .agg(F.min("lsn").alias("lo"), F.max("lsn").alias("hi"))
+        .filter((F.col("lo") < cut) & (F.col("hi") >= cut)
+                & (F.col("txn_id") % 7 != 0))
+        .select("txn_id")
+    )
+    n_straddle = spans.count()
+    if n_straddle == 0:
+        raise AssertionError("test stream has no straddling transaction")
+    # chunk/stream overlap instances: chunk docs with committed stream
+    # events in (c, cut) — the in-batch arbitration the LSN guard wins
+    n_arb = (
+        chunk_df.select("doc_id")
+        .join(
+            stream.filter((F.col("lsn") > c) & (F.col("lsn") < cut)
+                          & (F.col("txn_id") % 7 != 0)).select("doc_id"),
+            "doc_id", "left_semi",
+        ).count()
+    )
+    if n_arb == 0:
+        raise AssertionError("chunk and stream never overlap")
+
+    root = _engine_workdir("lifecycle_catalog", sf_dir)
+    _sh.rmtree(root, ignore_errors=True)
+    buf = TxnBuffer(spark, _os.path.join(root, "buf"))
+    sink = ParquetMergeSink(spark, _os.path.join(root, "t"), n_buckets=16)
+    sink.drop()
+    eng = ReplayEngine(spark, sink, quarantine=True)
+    eng.bootstrap(None)
+
+    # -- wave 1: buffer, interleave the chunk, replay -----------------
+    r1, _ = buf.feed(wave1, 0)
+    r1 = r1.cache()
+    if r1.join(spans, "txn_id", "left_semi").count():
+        raise AssertionError("straddler rows leaked into the wave-1 release")
+    log1 = interleave_backfill_log(r1.drop("txn_id"), [(chunk_df, c)])
+    eng.replay(log1, batch_size=B, finalize=False)
+    buf.commit(0)
+    r1.unpersist()
+
+    # -- wave 2: buffer, toast-resolve, replay (quarantining bogus) ---
+    r2, st2 = buf.feed(wave2, 1)
+    r2 = r2.cache()
+    if r2.join(spans, "txn_id", "left_semi").count() == 0:
+        raise AssertionError("straddlers never released in wave 2")
+    bogus2 = r2.filter(F.col("op") == "bogus").drop("txn_id")
+    valid2 = r2.filter(F.col("op") != "bogus").drop("txn_id")
+    n_bogus = bogus2.count()
+    if n_bogus == 0:
+        raise AssertionError("no bogus row released — redrive unexercised")
+    if valid2.filter((F.col("op") == "update")
+                     & F.col("tokens").isNull()).count() == 0:
+        raise AssertionError("no toast sentinel released — toast unexercised")
+
+    red = reduce_batch_toast(valid2)
+    narrow = sink.read(include_deleted=True).select("doc_id", "lsn", "tokens")
+    completed, viol = resolve_toast(red, narrow)
+    n_viol = viol.count()
+    # relational expectation: valid2 docs whose prefix winner is a
+    # non-delete yet no event of the visible prefix carries an image
+    released1ev = stream.join(
+        stream.groupBy("txn_id").agg(F.max("lsn").alias("hi"))
+        .filter((F.col("hi") < cut) & (F.col("txn_id") % 7 != 0))
+        .select("txn_id"),
+        "txn_id", "left_semi",
+    )
+    seen = chunkvis.select("doc_id", "lsn", "op", "tokens").unionByName(
+        released1ev.select("doc_id", "lsn", "op", "tokens")
+    ).unionByName(valid2.select("doc_id", "lsn", "op", "tokens"))
+    exp = (
+        seen.join(valid2.select("doc_id").distinct(), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.max_by(F.col("op"), F.col("lsn")).alias("w_op"),
+            F.max(F.when(F.col("tokens").isNotNull(), 1)).alias("has"),
+        )
+        .filter((F.col("w_op") != "delete") & F.col("has").isNull())
+        .count()
+    )
+    if n_viol != exp:
+        raise AssertionError(f"{n_viol} toast violations, expected {exp}")
+
+    batch2 = completed.unionByName(bogus2).withColumn(
+        "delivery_seq", F.col("lsn") + F.lit(B)
+    )
+    s2 = eng.replay(batch2, batch_size=B)
+    buf.commit(1)
+    r2.unpersist()
+    if s2.quarantined != n_bogus:
+        raise AssertionError(
+            f"quarantined {s2.quarantined}, released bogus {n_bogus}"
+        )
+    n_unc = stream.filter(F.col("txn_id") % 7 == 0).count()
+    if st2.held != n_unc:
+        raise AssertionError(f"held {st2.held} != uncommitted rows {n_unc}")
+
+    # -- redrive: repair even-lsn bogus, archive the dead letters -----
+    n_residual = int(
+        bogus2.filter(F.col("lsn") % 2 == 1).count()
+    )
+
+    def _repair(q):
+        return q.withColumn(
+            "op",
+            F.when((F.col("op") == "bogus") & (F.col("lsn") % 2 == 0),
+                   F.lit("update")).otherwise(F.col("op")),
+        )
+
+    out = redrive_quarantine(spark, sink, repair=_repair)
+    if out["read"] != n_bogus or out["still_bad"] != n_residual:
+        raise AssertionError(
+            f"re-drive read {out['read']}/{n_bogus}, residual "
+            f"{out['still_bad']}/{n_residual}"
+        )
+    arch = spark.read.parquet(
+        _os.path.join(sink.root, "_quarantine_redriven",
+                      f"commit={out['batch_id']}")
+    )
+    if arch.count() != n_bogus:
+        raise AssertionError("archive does not hold the consumed dead letters")
+
+    return sink.read().select(
+        "doc_id", "lsn",
+        F.size("tokens").alias("n_out"),
+        TK.token_fingerprint(F.col("tokens")).alias("fp"),
+    )
+
+
 # =====================================================================
 # Driver-gate ordering
 # =====================================================================
