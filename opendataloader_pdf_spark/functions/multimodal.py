@@ -17,11 +17,17 @@ emits a standards-compliant AVI — hdrl LIST with avih/strh/strf
 (BITMAPINFOHEADER), movi LIST of '00db' DIB frames, idx1 index — and
 ``decode_avi`` walks it back with struct only, validating the container
 size, stream type, biCompression=0/biBitCount=24, and decoding each
-bottom-up 4-byte-row-padded BGR frame. Compressed codecs (H.264 etc.)
-genuinely need codec libs the container lacks; those payloads fall back
-to the deterministic hash-derived fake, keeping the identical Spark
-plumbing — schema, Arrow batch shape, mapInPandas signature,
-per-partition batching — exercised either way.
+bottom-up 4-byte-row-padded BGR frame. COMPRESSED video is REAL for
+motion-JPEG: ``encode_jpeg_baseline``/``decode_jpeg`` implement the
+baseline (SOF0) JPEG codec itself in numpy/struct — DCT, zigzag,
+quantization, canonical-Huffman entropy coding with byte stuffing and
+restart markers — and ``encode_avi_mjpeg``/``decode_avi`` carry it in
+the AVI container (biCompression='MJPG', one standalone JPEG per movi
+chunk). Only inter-frame codecs (H.264 etc.) genuinely need codec libs
+the container lacks; those payloads fall back to the deterministic
+hash-derived fake, keeping the identical Spark plumbing — schema, Arrow
+batch shape, mapInPandas signature, per-partition batching — exercised
+either way.
 
 Scale notes: mapInPandas streams Arrow record batches — payloads never
 materialize as Python row objects; batch size bounded by
@@ -359,12 +365,15 @@ def encode_avi_rgb24(frames: np.ndarray, rate: int, scale: int = 1) -> bytes:
 
 
 def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
-    """Decode an uncompressed RIFF/AVI with struct only — a real
-    container codec, not a library call: verifies the RIFF/'AVI ' magic
-    and container size field, walks the hdrl LIST (avih dimensions, strh
-    'vids' stream with rate/scale, strf BITMAPINFOHEADER rejecting
-    compressed / non-24-bit encodings), then decodes every '00db' movi
-    frame from bottom-up 4-byte-padded BGR DIB rows back to RGB.
+    """Decode a RIFF/AVI with struct/numpy only — a real container
+    codec, not a library call: verifies the RIFF/'AVI ' magic and
+    container size field, walks the hdrl LIST (avih dimensions, strh
+    'vids' stream with rate/scale, strf BITMAPINFOHEADER), then decodes
+    every movi frame. Two real codecs behind the header switch:
+    biCompression=0 → '00db' bottom-up 4-byte-padded BGR DIB rows;
+    biCompression='MJPG' → each '00dc' chunk is a standalone baseline
+    JPEG routed through ``decode_jpeg`` (grayscale frames replicate to
+    RGB). Other compressions raise — those genuinely need codec libs.
 
     Returns (width, height, rate, scale, frames (n, h, w, 3) uint8)."""
     import struct
@@ -401,6 +410,7 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
 
     w = h = n_frames = None
     rate = scale = None
+    compression = None
     raw_frames: list[bytes] = []
     for tag, body in walk(data[12:]):
         if tag == b"hdrl":
@@ -423,7 +433,11 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
                             (_sz, bw, bh, _pl, bits, comp) = struct.unpack(
                                 "<IiiHHI", need(b3, 20, "strf")[:20]
                             )
-                            if comp != 0 or bits != 24:
+                            if comp == MJPG_FOURCC:
+                                compression = "mjpg"
+                            elif comp == 0 and bits == 24:
+                                compression = "rgb"
+                            else:
                                 raise ValueError(
                                     f"unsupported AVI (compression={comp}, "
                                     f"bits={bits}) — codec libs unavailable"
@@ -432,17 +446,27 @@ def decode_avi(data: bytes) -> tuple[int, int, int, int, np.ndarray]:
             for t2, b2 in walk(body):
                 if t2 in (b"00db", b"00dc"):
                     raw_frames.append(b2)
-    if w is None or rate is None:
-        raise ValueError("AVI missing avih/strh header")
+    if w is None or rate is None or compression is None:
+        raise ValueError("AVI missing avih/strh/strf header")
     if len(raw_frames) != n_frames:
         raise ValueError(
             f"movi has {len(raw_frames)} frames, header says {n_frames}"
         )
+    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
+    if compression == "mjpg":
+        for i, rf in enumerate(raw_frames):
+            img = decode_jpeg(bytes(rf))
+            if img.shape[:2] != (h, w):
+                raise ValueError(
+                    f"frame {i}: JPEG is {img.shape[1]}x{img.shape[0]}, "
+                    f"container says {w}x{h}"
+                )
+            out[i] = img[..., None] if img.ndim == 2 else img
+        return w, h, rate, scale, out
     stride = (w * 3 + 3) & ~3
     for i, rf in enumerate(raw_frames):  # validate BEFORE the (h,w)-sized alloc
         if len(rf) != stride * h:
             raise ValueError(f"frame {i}: {len(rf)} bytes != {stride * h}")
-    out = np.empty((n_frames, h, w, 3), dtype=np.uint8)
     for i, rf in enumerate(raw_frames):
         rows = np.frombuffer(rf, dtype=np.uint8).reshape(h, stride)
         out[i] = rows[::-1, : w * 3].reshape(h, w, 3)[:, :, ::-1]
@@ -749,4 +773,532 @@ def documents_as_media(docs: DataFrame, id_col: str = "doc_id",
         .alias("kind"),
         F.encode(F.col(text_col), "UTF-8").alias("payload"),
         F.to_json(F.struct(F.col(id_col))).alias("meta"),
+    )
+
+
+# =====================================================================
+# Baseline JPEG (ITU-T T.81 SOF0) — pure numpy/struct codec
+# =====================================================================
+# A REAL lossy image codec, no library call anywhere: forward/inverse
+# 8x8 DCT as an orthonormal matrix sandwich, zigzag ordering, quality-
+# scaled quantization, magnitude-category entropy coding with canonical
+# Huffman tables (Annex K luminance set), byte stuffing, and optional
+# restart intervals. The decoder is general baseline: it reads whatever
+# DQT/DHT/DRI tables the file declares, supports 1-component grayscale
+# and 3-component 4:4:4 YCbCr scans, RSTn resynchronization, and
+# validates marker structure (SURVEY.md §2 K6; reference analog
+# ImagesUtils.write — here the interchange codec itself). Progressive
+# (SOF2) and subsampled scans raise cleanly.
+
+_JPEG_ZZ = np.array(sorted(
+    range(64),
+    key=lambda i: ((i >> 3) + (i & 7),
+                   (i >> 3) if ((i >> 3) + (i & 7)) % 2 else -(i >> 3)),
+), dtype=np.int64)  # _JPEG_ZZ[k] = natural index of zigzag position k
+
+_DCT_M = np.array([
+    [(np.sqrt(0.125) if k == 0 else 0.5)
+     * np.cos((2 * n + 1) * k * np.pi / 16) for n in range(8)]
+    for k in range(8)
+])
+
+#: Annex K Table K.1 luminance quantization (natural row-major order)
+_STD_LUMA_Q = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+
+#: Annex K Tables K.3/K.5 — luminance DC/AC Huffman specs
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits, vals):
+    """DHT spec → {symbol: (code, length)} (canonical assignment)."""
+    out, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _decoder_table(bits, vals):
+    """DHT spec → {(length, code): symbol}."""
+    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if not length:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:  # pad final byte with 1-bits (spec F.1.2.3)
+        if self.n:
+            self.write((1 << (8 - self.n)) - 1, 8 - self.n)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category ssss, additional bits) for a nonzero/zero coefficient."""
+    if v == 0:
+        return 0, 0
+    s = int(abs(v)).bit_length()
+    return s, (v if v > 0 else v + (1 << s) - 1)
+
+
+def _quality_scale(quality: int) -> np.ndarray:
+    """IJG quality scaling of the Annex K luminance table (natural order)."""
+    quality = min(100, max(1, int(quality)))
+    s = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (_STD_LUMA_Q * s + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    r, g, b = img[..., 0].astype(np.float64), img[..., 1].astype(np.float64), \
+        img[..., 2].astype(np.float64)
+    return np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+    ], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    return np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=-1)
+
+
+def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
+                         quant: np.ndarray | None = None,
+                         restart_interval: int = 0) -> bytes:
+    """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    baseline JFIF/JPEG (SOF0, 4:4:4, Annex K luminance Huffman tables
+    for every component). ``quant`` overrides the quality-scaled
+    quantization table (64 values, natural order)."""
+    import struct
+
+    if img.dtype != np.uint8:
+        raise ValueError("encode_jpeg_baseline expects uint8")
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if not (0 < h < 65536 and 0 < w < 65536):
+        raise ValueError(f"bad dimensions {w}x{h}")
+    q = (_quality_scale(quality) if quant is None
+         else np.asarray(quant, dtype=np.int64).reshape(64))
+    planes = (img[..., None] if gray else _rgb_to_ycbcr(img)).astype(np.float64)
+
+    # pad to 8x8 multiples by edge replication
+    ph, pw = -h % 8, -w % 8
+    planes = np.pad(planes, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W = planes.shape[:2]
+
+    dc_enc = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_enc = _canonical_codes(_STD_AC_BITS, _STD_AC_VALS)
+    qz = q[_JPEG_ZZ]  # zigzag-ordered for the DQT segment
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in qz)
+    ncomp = 1 if gray else 3
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for cls, bits, vals in ((0, _STD_DC_BITS, _STD_DC_VALS),
+                            (1, _STD_AC_BITS, _STD_AC_VALS)):
+        seg = struct.pack(">B", cls << 4) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + struct.pack(">H", 2 + len(seg)) + seg
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = struct.pack(">B", ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    # entropy-coded scan: MCU = one 8x8 block per component (4:4:4)
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    mcu_rows, mcu_cols = H // 8, W // 8
+    mcu_i, rst = 0, 0
+    for by in range(mcu_rows):
+        for bx in range(mcu_cols):
+            if restart_interval and mcu_i and mcu_i % restart_interval == 0:
+                bw.flush()
+                bw.buf += b"\xff" + bytes([0xD0 + rst])
+                rst = (rst + 1) & 7
+                preds = [0] * ncomp
+            for ci in range(ncomp):
+                block = planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci]
+                coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
+                qc = np.round(coef.reshape(64) / q.reshape(8, 8).reshape(64))
+                zz = qc[_JPEG_ZZ].astype(np.int64)
+                diff = int(zz[0]) - preds[ci]
+                preds[ci] = int(zz[0])
+                s, extra = _magnitude(diff)
+                c, ln = dc_enc[s]
+                bw.write(c, ln)
+                bw.write(extra, s)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        c, ln = ac_enc[0xF0]  # ZRL
+                        bw.write(c, ln)
+                        run -= 16
+                    s, extra = _magnitude(v)
+                    c, ln = ac_enc[(run << 4) | s]
+                    bw.write(c, ln)
+                    bw.write(extra, s)
+                    run = 0
+                if last < 63:
+                    c, ln = ac_enc[0x00]  # EOB
+                    bw.write(c, ln)
+            mcu_i += 1
+    bw.flush()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _SegReader:
+    """MSB-first bit reader over an unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte_i = self.pos >> 3
+        if byte_i >= len(self.d):
+            raise ValueError("entropy segment exhausted mid-symbol")
+        v = (self.d[byte_i] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(r: _SegReader, table: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in scan")
+
+
+def _extend(v: int, s: int) -> int:
+    return v if not s or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _split_entropy(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Unstuff the entropy stream from ``pos``; split at RSTn markers;
+    stop at the first non-RST marker. Returns (segments, marker_pos)."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        if pos + 1 >= n:
+            raise ValueError("truncated entropy stream")
+        m = data[pos + 1]
+        if m == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif 0xD0 <= m <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs, pos
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline (SOF0) JPEG with numpy/struct only: marker
+    walk, DQT/DHT/DRI table parsing, Huffman + magnitude-category
+    entropy decode with RSTn resync, dequantization, inverse zigzag,
+    IDCT, and YCbCr→RGB for 3-component 4:4:4 scans. Returns (h, w)
+    uint8 for grayscale or (h, w, 3) uint8 RGB. Progressive/subsampled
+    files raise ValueError (genuinely out of baseline scope)."""
+    import struct
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], dict] = {}
+    h = w = None
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, qtable)
+    restart = 0
+    frames = None
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at byte {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        body = data[pos + 4:pos + 2 + seg_len]
+        if len(body) != seg_len - 2:
+            raise ValueError(f"truncated segment 0x{marker:02x}")
+        pos += 2 + seg_len
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 15
+                off += 1
+                if pq:
+                    vals = np.frombuffer(body[off:off + 128],
+                                         dtype=">u2").astype(np.int64)
+                    off += 128
+                else:
+                    vals = np.frombuffer(body[off:off + 64],
+                                         dtype=np.uint8).astype(np.int64)
+                    off += 64
+                nat = np.empty(64, dtype=np.int64)
+                nat[_JPEG_ZZ] = vals  # DQT is stored in zigzag order
+                qtables[tq] = nat
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 15
+                bits = list(body[off + 1:off + 17])
+                nv = sum(bits)
+                vals = list(body[off + 17:off + 17 + nv])
+                htables[(tc, th)] = _decoder_table(bits, vals)
+                off += 17 + nv
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = [(body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
+                     for i in range(nc)]
+            if any(s != 0x11 for _, s, _q in comps):
+                raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG frame 0x{marker:02x}")
+        elif marker == 0xDA:  # SOS — entropy scan follows
+            if h is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
+                     body[2 + 2 * i] & 15) for i in range(ns)]
+            segs, pos = _split_entropy(data, pos)
+            mcu_rows, mcu_cols = -(-h // 8), -(-w // 8)
+            n_mcu = mcu_rows * mcu_cols
+            planes = np.empty((mcu_rows * 8, mcu_cols * 8, ns))
+            by_id = {cid: (samp, tq) for cid, samp, tq in comps}
+            preds = [0] * ns
+            seg_i = 0
+            r = _SegReader(segs[0])
+            for m in range(n_mcu):
+                if restart and m and m % restart == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("missing RST segment in scan")
+                    r = _SegReader(segs[seg_i])
+                    preds = [0] * ns
+                by, bx = divmod(m, mcu_cols)
+                for ci, (cid, td, ta) in enumerate(scan):
+                    dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
+                    q = qtables[by_id[cid][1]]
+                    s = _huff_decode(r, dc_t)
+                    preds[ci] += _extend(r.bits(s), s)
+                    zz = np.zeros(64, dtype=np.int64)
+                    zz[0] = preds[ci]
+                    k = 1
+                    while k < 64:
+                        sym = _huff_decode(r, ac_t)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, s = sym >> 4, sym & 15
+                        if s == 0:
+                            if run != 15:
+                                raise ValueError(f"bad AC symbol {sym:#x}")
+                            k += 16
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("AC run overflows block")
+                        zz[k] = _extend(r.bits(s), s)
+                        k += 1
+                    nat = np.zeros(64, dtype=np.int64)
+                    nat[_JPEG_ZZ] = zz
+                    block = (nat * q).reshape(8, 8).astype(np.float64)
+                    planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = (
+                        _DCT_M.T @ block @ _DCT_M + 128.0
+                    )
+            out = planes[:h, :w, :]
+            if ns == 1:
+                return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
+            if ns == 3:
+                return np.clip(np.round(_ycbcr_to_rgb(out)), 0,
+                               255).astype(np.uint8)
+            raise ValueError(f"unsupported component count {ns}")
+        # APPn/COM and other segments: skipped
+    raise ValueError("no SOS scan found")
+
+
+MJPG_FOURCC = 0x47504A4D  # 'MJPG' little-endian
+
+
+def encode_avi_mjpeg(frames: np.ndarray, rate: int, scale: int = 1,
+                     quality: int = 85,
+                     quant: np.ndarray | None = None) -> bytes:
+    """Encode (n, h, w) uint8 grayscale frames as an MJPEG AVI: the
+    same RIFF layout as ``encode_avi_rgb24`` but biCompression='MJPG'
+    and each movi chunk ('00dc') a standalone baseline JPEG from
+    ``encode_jpeg_baseline`` — the motion-JPEG interchange convention
+    (every frame independently decodable, no inter-frame state)."""
+    import struct
+
+    n, h, w = frames.shape
+    jpegs = [encode_jpeg_baseline(f, quality=quality, quant=quant)
+             for f in frames]
+    bufsize = max(len(j) for j in jpegs)
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (tag + struct.pack("<I", len(payload)) + payload
+                + (b"\x00" if len(payload) & 1 else b""))
+
+    def lst(kind: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", kind + payload)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 * scale // rate,
+        bufsize * rate // scale,
+        0, 0x10,
+        n, 0, 1, bufsize,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIII4h",
+        b"vids", b"MJPG", 0, 0, 0, 0,
+        scale, rate, 0, n, bufsize, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII",
+        40, w, h, 1, 24, MJPG_FOURCC, w * h * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_payload = b"".join(chunk(b"00dc", j) for j in jpegs)
+    movi = lst(b"movi", movi_payload)
+    off, idx_entries = 4, []
+    for j in jpegs:
+        idx_entries.append(struct.pack("<4sIII", b"00dc", 0x10, off, len(j)))
+        off += 8 + len(j) + (len(j) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx_entries))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def documents_as_mjpeg_media(docs: DataFrame,
+                             id_col: str = "doc_id") -> DataFrame:
+    """Synthesize REAL MJPEG AVI payloads from the documents fixture:
+    per doc a clip of n = 1 + doc_id % 4 grayscale frames sized
+    w = 8·(1 + doc_id % 3) by h = 8·(1 + doc_id % 2) at
+    rate = 2 + doc_id % 5 fps, where each 8x8 block is the CONSTANT
+    value (doc_id + 7·frame + 13·bx + 29·by) % 256. Block-constant
+    frames make the lossy codec exact on this family — every AC
+    coefficient is identically zero and the DC quantizer step is 8, so
+    round(8·(v−128)/8)·8/8 + 128 == v — which lets a SQL oracle
+    predict decoded per-frame pixel sums exactly while the decode runs
+    the full marker/Huffman/dequant/IDCT pipeline. General (non-block-
+    constant) content fidelity is pinned by the roundtrip property
+    tests instead (tests/test_property_codecs.py)."""
+    quant = np.full(64, 16, dtype=np.int64)
+    quant[0] = 8
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"].astype(np.int64):
+                did = int(did)
+                w = 8 * (1 + did % 3)
+                h = 8 * (1 + did % 2)
+                n = 1 + did % 4
+                rate = 2 + did % 5
+                f = np.arange(n, dtype=np.int64)[:, None, None]
+                by = np.arange(h // 8, dtype=np.int64)[None, :, None]
+                bx = np.arange(w // 8, dtype=np.int64)[None, None, :]
+                blocks = ((did + 7 * f + 13 * bx + 29 * by) % 256).astype(
+                    np.uint8
+                )
+                frames = np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+                payloads.append(
+                    encode_avi_mjpeg(frames, rate, quant=quant)
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"].astype(np.int64).values,
+                 "kind": "video", "payload": payloads, "meta": None}
+            )
+
+    return docs.select(F.col(id_col).alias("doc_id")).mapInPandas(
+        build, schema=MEDIA_SCHEMA
     )

@@ -2434,6 +2434,62 @@ def multimodal_video_decode(spark, sf_dir):
 
 
 @register(
+    "multimodal_mjpeg_decode",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             (1 + doc_id % 3)::BIGINT AS nbx,
+             (1 + doc_id % 2)::BIGINT AS nby,
+             (1 + doc_id % 4)::BIGINT AS n,
+             (2 + doc_id % 5)::INT AS rate
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, nbx, nby, rate, unnest(range(0, n)) AS f FROM p
+    ), sb AS (
+      SELECT doc_id, nbx, nby, rate, f, unnest(range(0, nby)) AS by FROM fr
+    ), sx AS (
+      SELECT doc_id, nbx, nby, rate, f, by, unnest(range(0, nbx)) AS bx
+      FROM sb
+    )
+    SELECT doc_id AS media_id,
+           f::INT AS frame_idx,
+           (8 * nbx)::INT AS width,
+           (8 * nby)::INT AS height,
+           rate,
+           sum(192 * ((doc_id + 7 * f + 13 * bx + 29 * by) % 256))::BIGINT
+             AS frame_sum
+    FROM sx GROUP BY doc_id, f, nbx, nby, rate
+    """,
+    doc="K6 COMPRESSED video decode made REAL for MJPEG AVI (VERDICT "
+        "r4 task #6 — the last realistic codec gap): each document "
+        "synthesizes a genuine motion-JPEG AVI (biCompression='MJPG', "
+        "every '00dc' chunk a standalone baseline JFIF/JPEG) and the "
+        "engine decodes it with the pure-numpy/struct codec "
+        "(functions/multimodal.py encode_jpeg_baseline/decode_jpeg): "
+        "marker walk, DQT/DHT parsing with canonical Huffman "
+        "reconstruction, magnitude-category entropy decode with byte "
+        "unstuffing, dequantization, inverse zigzag, and an orthonormal "
+        "IDCT — no codec library anywhere. The oracle is STRICT despite "
+        "the lossy codec: generator frames are 8x8-block-constant and "
+        "the DC quantizer step is 8, so every AC coefficient is exactly "
+        "zero and the DC value is exactly representable — the decode "
+        "reproduces the source bit-for-bit and the SQL twin predicts "
+        "per-frame pixel sums in closed form. General-content fidelity "
+        "(PSNR floor, restart-marker resync, color 4:4:4) is pinned by "
+        "tests/test_property_codecs.py roundtrips instead. Only inter-"
+        "frame codecs (H.264 etc.) remain behind the documented fake.",
+)
+def multimodal_mjpeg_decode(spark, sf_dir):
+    from opendataloader_pdf_spark.functions.multimodal import (
+        decode_avi_frame_stats,
+        documents_as_mjpeg_media,
+    )
+
+    media = documents_as_mjpeg_media(_t(spark, sf_dir, "documents"))
+    return decode_avi_frame_stats(media)
+
+
+@register(
     "multimodal_frame_sample",
     """
     WITH v AS (
@@ -7609,7 +7665,7 @@ _GATE_PRIORITY = [
     "scalar_string_family", "set_union_by_name", "split_assign",
     "w1_windowed_activity",
     # -- new in round 5 --
-    "cdc_full_lifecycle",
+    "cdc_full_lifecycle", "multimodal_mjpeg_decode",
     # -- flagship / bench heads, re-certified on final-round code --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "p1_corpus_pipeline", "f_filter_stack", "f2_dedup_lww",

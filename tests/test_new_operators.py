@@ -138,9 +138,8 @@ def test_iceberg_sink_contract(spark, tmp_path):
 
     if not iceberg_available():
         # blocked by environment: the sandbox is fully offline (maven DNS
-        # fails, pip index empty — re-verified 2026-08-20 late round 4:
-        # curl to repo1.maven.org → exit 6 couldn't-resolve,
-        # getent DNS lookup fails) and no cached
+        # fails, pip index empty — re-verified 2026-08-21 round 5:
+        # curl to repo1.maven.org → exit 6 couldn't-resolve) and no cached
         # jar exists anywhere on the box (searched ~/.ivy2, ~/.m2,
         # pyspark/jars, /opt/spark/jars, /usr/share/java — no
         # iceberg/delta/hudi artifact). Set SPARK_ICEBERG_JAR or drop

@@ -10,6 +10,8 @@ adversarial shapes: 1×1 images, odd widths (stride padding), zero-frame
 
 from __future__ import annotations
 
+from struct import error as struct_error
+
 import numpy as np
 import pytest
 from hypothesis import given, settings
@@ -128,3 +130,88 @@ def test_avi_single_pixel_single_frame():
     frames = np.array([[[[7, 8, 9]]]], dtype=np.uint8)
     w, h, rate, scale, got = M.decode_avi(M.encode_avi_rgb24(frames, 1))
     assert (w, h) == (1, 1) and (got == frames).all()
+
+
+# ---------------------------------------------------------------------
+# Baseline JPEG / MJPEG-AVI (round 5)
+# ---------------------------------------------------------------------
+
+@st.composite
+def jpeg_images(draw):
+    w = draw(st.integers(1, 40))
+    h = draw(st.integers(1, 40))
+    color = draw(st.booleans())
+    smooth = draw(st.booleans())
+    seed = draw(st.integers(0, 2**31 - 1))
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    if smooth:
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = (yy * draw(st.integers(0, 5)) + xx * draw(st.integers(0, 5)))
+        img = (base[..., None] + np.arange(3) * 11) if color else base
+        return (img % 256).astype(np.uint8)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+@settings(max_examples=40, deadline=None)
+@given(img=jpeg_images(), ri=st.integers(0, 4))
+def test_jpeg_roundtrip_psnr(img, ri):
+    """Lossy codec contract: decode(encode(x)) has bounded error at
+    quality 90 (PSNR > 28 dB — random noise is the worst case for a
+    DCT codec), shape/dtype are exact, and restart intervals change
+    the bitstream but NOT the decoded content."""
+    data = M.encode_jpeg_baseline(img, quality=90, restart_interval=ri)
+    out = M.decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    mse = np.mean((out.astype(np.float64) - img.astype(np.float64)) ** 2)
+    if mse > 0:
+        assert 10 * np.log10(255.0**2 / mse) > 28.0
+    plain = M.decode_jpeg(M.encode_jpeg_baseline(img, quality=90))
+    assert np.array_equal(out, plain)
+
+
+@settings(max_examples=30, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1),
+       nbx=st.integers(1, 5), nby=st.integers(1, 4), n=st.integers(1, 4))
+def test_jpeg_block_constant_exact(seed, nbx, nby, n):
+    """On 8x8-block-constant frames with DC step 8, the lossy codec is
+    EXACT — the property the strict multimodal_mjpeg_decode oracle
+    relies on — end-to-end through the MJPEG AVI container."""
+    rng = np.random.default_rng(seed)
+    q = np.full(64, 16, dtype=np.int64)
+    q[0] = 8
+    blocks = rng.integers(0, 256, (n, nby, nbx), dtype=np.uint8)
+    frames = np.repeat(np.repeat(blocks, 8, axis=1), 8, axis=2)
+    w, h, _r, _s, out = M.decode_avi(M.encode_avi_mjpeg(frames, 3, quant=q))
+    assert (w, h) == (8 * nbx, 8 * nby)
+    assert np.array_equal(out, np.repeat(frames[..., None], 3, axis=3))
+
+
+@settings(max_examples=25, deadline=None)
+@given(img=jpeg_images(), flip_seed=st.integers(0, 2**31 - 1))
+def test_jpeg_corruption_never_crashes_into_garbage_shape(img, flip_seed):
+    """A single flipped byte must either raise ValueError or decode to
+    an array of the ORIGINAL shape (entropy-stream damage may change
+    pixel content — JPEG has no payload CRC — but structural fields
+    are validated, so the decoder never fabricates a different
+    geometry or loops forever)."""
+    data = bytearray(M.encode_jpeg_baseline(img, quality=90))
+    rng = np.random.default_rng(flip_seed)
+    i = int(rng.integers(2, len(data) - 2))  # keep SOI/EOI intact
+    data[i] ^= 1 << int(rng.integers(0, 8))
+    try:
+        out = M.decode_jpeg(bytes(data))
+    except (ValueError, KeyError, IndexError, struct_error):
+        return
+    assert out.shape[:2] == img.shape[:2]
+
+
+def test_jpeg_rejects_non_baseline():
+    img = np.zeros((8, 8), dtype=np.uint8)
+    data = bytearray(M.encode_jpeg_baseline(img))
+    i = data.index(b"\xff\xc0")
+    data[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError, match="non-baseline"):
+        M.decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="SOI"):
+        M.decode_jpeg(b"\x00\x01\x02")
