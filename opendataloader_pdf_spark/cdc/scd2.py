@@ -83,3 +83,42 @@ def scd2_extend(history: DataFrame, span: DataFrame, key: str = "doc_id",
         .drop("_first_lsn")
     )
     return closed.unionByName(scd2_history(span, key, order))
+
+
+def scd2_history_bucketed(events: DataFrame, key: str = "doc_id",
+                          order: str = "lsn",
+                          bucket_width: int = 1 << 20) -> DataFrame:
+    """``scd2_history`` for pathologically hot keys: the range-bucket
+    stitching path the module scale notes name.
+
+    The plain formulation's single window puts a key's ENTIRE history
+    on one task — correct at 10^2-4 versions/key, a straggler when one
+    key holds millions. Here the window partitions by (key, lsn-range
+    bucket), so a hot key's history splits across tasks ~bucket_width
+    versions at a time, and only the per-(key, bucket) FIRST-lsn
+    aggregate — one row per bucket, not per version — is re-windowed to
+    stitch interval boundaries: a row that is last in its bucket closes
+    at the key's next non-empty bucket's first lsn. Exact by
+    construction (buckets are contiguous lsn ranges, so within-bucket
+    lead() equals the global lead() everywhere except the boundary row
+    the stitch join fills); the equivalence is property-tested and
+    measured under zipf skew in tools/skew_bench.py --scd2.
+    """
+    ev = events.withColumn("_rb", F.floor(F.col(order) / bucket_width))
+    wb = Window.partitionBy(key, "_rb").orderBy(order)
+    closed = ev.withColumn("valid_to", F.lead(order).over(wb))
+    firsts = ev.groupBy(key, "_rb").agg(F.min(order).alias("_first"))
+    nxt = firsts.withColumn(
+        "_next_first",
+        F.lead("_first").over(Window.partitionBy(key).orderBy("_rb")),
+    )
+    stitched = (
+        closed.join(nxt, on=[key, "_rb"], how="left")
+        .withColumn("valid_to", F.coalesce("valid_to", "_next_first"))
+    )
+    return (
+        stitched.filter(F.col("op") != "delete")
+        .withColumn("valid_from", F.col(order))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .drop(order, "_rb", "_first", "_next_first")
+    )

@@ -107,10 +107,79 @@ def run_scenario(spark, a, hot_share: float, hot_keys: int,
     }
 
 
+def run_scd2_scenario(spark, a, hot_share: float, hot_keys: int,
+                      bucket_width: int) -> dict:
+    """SCD2 per-key history window under zipf-hot skew (round-5 task:
+    cdc_scd2_history's docstring names range-bucket stitching as the
+    hot-key path — measure it). The plain formulation windows a key's
+    WHOLE history on one task; the bucketed variant splits the hot
+    key's history ~bucket_width versions per task and stitches
+    boundaries from a per-(key, bucket) aggregate. Both materialized
+    to a count + checksum action, asserted row-identical, timed
+    interleaved best-of-2."""
+    from pyspark.sql import functions as F
+
+    from opendataloader_pdf_spark.cdc.scd2 import (
+        scd2_history,
+        scd2_history_bucketed,
+    )
+    from opendataloader_pdf_spark.datagen import gen_change_events
+
+    hot_frac = hot_keys / a.docs
+    tag = f"scd2_{int(hot_share * 100)}p_{hot_keys}k"
+    skew_path = os.path.join(a.workdir, f"skewed_{a.events}_{tag}")
+    if not os.path.exists(skew_path):
+        gen_change_events(
+            spark, a.events, a.docs, seed=42, max_tok=16,
+            hot_frac=hot_frac, hot_share=hot_share, partitions=64,
+        ).write.mode("overwrite").parquet(skew_path)
+    ev = spark.read.parquet(skew_path).select(
+        "doc_id", "lsn", "op", "tokens")
+    ev.agg(F.sum(F.size("tokens")), F.sum("lsn")).collect()  # cache warm
+    hottest = int(ev.groupBy("doc_id").count()
+                  .agg(F.max("count")).collect()[0][0])
+
+    def fold(df):
+        return df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("doc_id", "valid_from", "valid_to",
+                             "is_current")).alias("chk"),
+        ).collect()[0]
+
+    times = {"plain": [], "bucketed": []}
+    folds = {}
+    for _ in range(2):
+        for name, fn in (("plain", lambda: scd2_history(ev)),
+                         ("bucketed", lambda: scd2_history_bucketed(
+                             ev, bucket_width=bucket_width))):
+            t0 = time.time()
+            folds[name] = fold(fn())
+            times[name].append(time.time() - t0)
+    plain_df, buck_df = scd2_history(ev), scd2_history_bucketed(
+        ev, bucket_width=bucket_width)
+    diff = (plain_df.exceptAll(buck_df).count()
+            + buck_df.exceptAll(plain_df).count())
+    assert diff == 0, f"[{tag}] bucketed vs plain differ by {diff} rows!"
+    assert folds["plain"] == folds["bucketed"]
+    return {
+        "hot_share": hot_share, "hot_keys": hot_keys,
+        "hottest_key_versions": hottest, "bucket_width": bucket_width,
+        "rows": int(folds["plain"]["n"]),
+        "plain_secs": round(min(times["plain"]), 2),
+        "bucketed_secs": round(min(times["bucketed"]), 2),
+        "identical": True,
+    }
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--events", type=int, default=4_000_000)
     p.add_argument("--docs", type=int, default=200_000)
+    p.add_argument("--scd2", action="store_true",
+                   help="run the SCD2 hot-key history-window scenarios "
+                        "instead of the LWW-reduction ones; appends an "
+                        "SCD2 section to BENCH/SKEW.md")
+    p.add_argument("--scd2-bucket-width", type=int, default=65536)
     p.add_argument("--scenarios", default="0.9:20,0.99:1",
                    help="comma list of hot_share:hot_keys[:max_tok[:docs[:events]]] "
                         "specs — the optional tail selects the wide-payload / "
@@ -127,6 +196,49 @@ def main() -> None:
                       extra_conf={"spark.sql.files.maxPartitionBytes": "32m",
                                   "spark.local.dir": "/dev/shm/skew_local"})
     spark.sparkContext.setLogLevel("ERROR")
+
+    if a.scd2:
+        out = []
+        for part in a.scenarios.split(","):
+            share, keys = part.split(":")[:2]
+            out.append(run_scd2_scenario(spark, a, float(share), int(keys),
+                                         a.scd2_bucket_width))
+        print(json.dumps({"metric": "skew_scd2", "scenarios": out}))
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        lines = [
+            "",
+            "## SCD2 per-key history window under zipf-hot skew",
+            "",
+            f"{a.events:,} events / {a.docs:,} docs, history materialized "
+            f"with the plain per-key window vs the range-bucketed "
+            f"stitching path (bucket_width="
+            f"{a.scd2_bucket_width:,}); outputs asserted row-identical.",
+            "",
+            "| skew (share / hot keys) | hottest key versions | rows | "
+            "plain secs | bucketed secs |",
+            "|---|---|---|---|---|",
+        ]
+        for s in out:
+            lines.append(
+                f"| {s['hot_share']:.0%} / {s['hot_keys']} | "
+                f"{s['hottest_key_versions']:,} | {s['rows']:,} | "
+                f"{s['plain_secs']} | {s['bucketed_secs']} |")
+        lines += [
+            "",
+            "Neither formulation collapses at this scale — a "
+            "single-task history of a few million versions is still "
+            "seconds of lead() work — but the bucketed path bounds the "
+            "per-task span at bucket_width versions, which is the "
+            "property that matters when one key holds 10^8+ versions "
+            "on a real cluster. Exactness of the boundary stitch is "
+            "also property-tested (tests/test_scd2_bucketed.py). "
+            "Produced by `tools/skew_bench.py --scd2`.",
+            "",
+        ]
+        with open(os.path.join(repo, "BENCH", "SKEW.md"), "a") as f:
+            f.write("\n".join(lines))
+        spark.stop()
+        return
 
     scenarios = []
     for part in a.scenarios.split(","):
