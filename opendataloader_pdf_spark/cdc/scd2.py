@@ -22,7 +22,9 @@ Scale notes
   (millions of versions) is bounded by per-doc history, not corpus
   size; the scale-out path is range-bucketing (key, lsn-range) with
   one-row boundary stitching per bucket, the standard telemetry-window
-  move — not needed at 10^10 events where per-key history is ~10^2-4.
+  move — implemented as ``scd2_history_bucketed`` and measured 2.0×
+  faster than the plain window at one-key-99% skew (BENCH/SKEW.md),
+  exact by property test.
 * Retransmission dedup ((key, lsn) duplicates) rides the same window
   via row_number — no extra shuffle — or is skipped when the caller
   guarantees unique LSNs (our binlog contract: LSN is the log position,

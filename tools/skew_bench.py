@@ -142,8 +142,9 @@ def run_scd2_scenario(spark, a, hot_share: float, hot_keys: int,
     def fold(df):
         return df.agg(
             F.count("*").alias("n"),
-            F.sum(F.xxhash64("doc_id", "valid_from", "valid_to",
-                             "is_current")).alias("chk"),
+            F.sum(F.pmod(F.xxhash64("doc_id", "valid_from", "valid_to",
+                                    "is_current"),
+                         F.lit(1_000_000_007))).alias("chk"),
         ).collect()[0]
 
     times = {"plain": [], "bucketed": []}
@@ -225,13 +226,15 @@ def main() -> None:
                 f"{s['plain_secs']} | {s['bucketed_secs']} |")
         lines += [
             "",
-            "Neither formulation collapses at this scale — a "
-            "single-task history of a few million versions is still "
-            "seconds of lead() work — but the bucketed path bounds the "
-            "per-task span at bucket_width versions, which is the "
-            "property that matters when one key holds 10^8+ versions "
-            "on a real cluster. Exactness of the boundary stitch is "
-            "also property-tested (tests/test_scd2_bucketed.py). "
+            "Expected shape: at moderate skew the plain window wins "
+            "(the bucketed path pays its stitch aggregate for "
+            "nothing); once one key's history dominates the stream, "
+            "the plain formulation serializes it on one task — "
+            "lead() is NOT a combinable aggregate, so map-side "
+            "combine cannot rescue a window — and the bucketed path "
+            "wins by bounding the per-task span at bucket_width "
+            "versions. Boundary-stitch exactness is property-tested "
+            "(tests/test_scd2_bucketed.py). "
             "Produced by `tools/skew_bench.py --scd2`.",
             "",
         ]
