@@ -7679,7 +7679,9 @@ _GATE_PRIORITY = [
     "cdc_mor_compact", "cdc_offset_tail", "cdc_consumer_lag",
     "multimodal_decode",
 ]
-_reordered = {n: QUERIES[n] for n in _GATE_PRIORITY if n in QUERIES}
+_missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
+assert not _missing, f"_GATE_PRIORITY names not in catalog: {_missing}"
+_reordered = {n: QUERIES[n] for n in _GATE_PRIORITY}
 _reordered.update({n: qd for n, qd in QUERIES.items() if n not in _reordered})
 assert len(_reordered) == len(QUERIES)
 QUERIES.clear()

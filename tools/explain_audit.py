@@ -98,6 +98,8 @@ AUDITED = [
     "cdc_txn_boundary",
     "cdc_toast_coalesce",
     "cdc_scd2_history",
+    "cdc_full_lifecycle",
+    "multimodal_mjpeg_decode",
     "cdc_pk_change",
     "cdc_chunked_backfill",
     "cdc_consumer_lag",
