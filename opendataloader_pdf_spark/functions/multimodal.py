@@ -978,7 +978,7 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
             for ci in range(ncomp):
                 block = planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci]
                 coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
-                qc = np.round(coef.reshape(64) / q.reshape(8, 8).reshape(64))
+                qc = np.round(coef.reshape(64) / q)
                 zz = qc[_JPEG_ZZ].astype(np.int64)
                 diff = int(zz[0]) - preds[ci]
                 preds[ci] = int(zz[0])
