@@ -21,7 +21,8 @@ bottom-up 4-byte-row-padded BGR frame. COMPRESSED video is REAL for
 motion-JPEG: ``encode_jpeg_baseline``/``decode_jpeg`` implement the
 baseline (SOF0) JPEG codec itself in numpy/struct — DCT, zigzag,
 quantization, canonical-Huffman entropy coding with byte stuffing and
-restart markers — and ``encode_avi_mjpeg``/``decode_avi`` carry it in
+restart markers, 4:4:4 and camera-style 4:2:0 sampling — and
+``encode_avi_mjpeg``/``decode_avi`` carry it in
 the AVI container (biCompression='MJPG', one standalone JPEG per movi
 chunk). Only inter-frame codecs (H.264 etc.) genuinely need codec libs
 the container lacks; those payloads fall back to the deterministic
@@ -915,27 +916,42 @@ def _ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
 
 def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
                          quant: np.ndarray | None = None,
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         subsampling: str = "444") -> bytes:
     """Encode a (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    baseline JFIF/JPEG (SOF0, 4:4:4, Annex K luminance Huffman tables
-    for every component). ``quant`` overrides the quality-scaled
-    quantization table (64 values, natural order)."""
+    baseline JFIF/JPEG (SOF0, Annex K luminance Huffman tables for
+    every component). ``subsampling`` is '444' (one block per
+    component per MCU) or '420' (2x2-sampled luma, box-mean chroma —
+    the layout real cameras emit). ``quant`` overrides the
+    quality-scaled quantization table (64 values, natural order)."""
     import struct
 
     if img.dtype != np.uint8:
         raise ValueError("encode_jpeg_baseline expects uint8")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     gray = img.ndim == 2
     h, w = img.shape[:2]
     if not (0 < h < 65536 and 0 < w < 65536):
         raise ValueError(f"bad dimensions {w}x{h}")
     q = (_quality_scale(quality) if quant is None
          else np.asarray(quant, dtype=np.int64).reshape(64))
-    planes = (img[..., None] if gray else _rgb_to_ycbcr(img)).astype(np.float64)
+    sub = subsampling == "420" and not gray
+    hf, vf = ([2, 1, 1], [2, 1, 1]) if sub else ([1] * (1 if gray else 3),) * 2
+    hmax, vmax = max(hf), max(vf)
+    full = (img[..., None] if gray else _rgb_to_ycbcr(img)).astype(np.float64)
 
-    # pad to 8x8 multiples by edge replication
-    ph, pw = -h % 8, -w % 8
-    planes = np.pad(planes, ((0, ph), (0, pw), (0, 0)), mode="edge")
-    H, W = planes.shape[:2]
+    # pad to MCU multiples by edge replication
+    ph, pw = -h % (8 * vmax), -w % (8 * hmax)
+    full = np.pad(full, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    H, W = full.shape[:2]
+    planes = []
+    for i in range(full.shape[2]):
+        p = full[:, :, i]
+        ry, rx = vmax // vf[i], hmax // hf[i]
+        if ry > 1 or rx > 1:  # box-mean chroma subsample
+            p = p.reshape(H // ry, ry, W // rx, rx).mean(axis=(1, 3))
+        planes.append(p)
 
     dc_enc = _canonical_codes(_STD_DC_BITS, _STD_DC_VALS)
     ac_enc = _canonical_codes(_STD_AC_BITS, _STD_AC_VALS)
@@ -946,10 +962,11 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
     out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HHBB", 1, 1, 0, 0)
     out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in qz)
-    ncomp = 1 if gray else 3
+    ncomp = len(planes)
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+        sof += struct.pack(">BBB", cid,
+                           (hf[cid - 1] << 4) | vf[cid - 1], 0)
     out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
     for cls, bits, vals in ((0, _STD_DC_BITS, _STD_DC_VALS),
                             (1, _STD_AC_BITS, _STD_AC_VALS)):
@@ -963,49 +980,58 @@ def encode_jpeg_baseline(img: np.ndarray, quality: int = 85,
     sos += b"\x00\x3f\x00"  # Ss=0 Se=63 AhAl=0
     out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
 
-    # entropy-coded scan: MCU = one 8x8 block per component (4:4:4)
+    # entropy-coded interleaved scan: per MCU, hf[i]*vf[i] blocks per
+    # component in raster order (spec A.2.3)
     bw = _BitWriter()
     preds = [0] * ncomp
-    mcu_rows, mcu_cols = H // 8, W // 8
+
+    def write_block(ci: int, block: np.ndarray) -> None:
+        coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
+        qc = np.round(coef.reshape(64) / q)
+        zz = qc[_JPEG_ZZ].astype(np.int64)
+        diff = int(zz[0]) - preds[ci]
+        preds[ci] = int(zz[0])
+        s, extra = _magnitude(diff)
+        c, ln = dc_enc[s]
+        bw.write(c, ln)
+        bw.write(extra, s)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_enc[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            s, extra = _magnitude(v)
+            c, ln = ac_enc[(run << 4) | s]
+            bw.write(c, ln)
+            bw.write(extra, s)
+            run = 0
+        if last < 63:
+            c, ln = ac_enc[0x00]  # EOB
+            bw.write(c, ln)
+
+    mcu_rows, mcu_cols = H // (8 * vmax), W // (8 * hmax)
     mcu_i, rst = 0, 0
-    for by in range(mcu_rows):
-        for bx in range(mcu_cols):
+    for my in range(mcu_rows):
+        for mx in range(mcu_cols):
             if restart_interval and mcu_i and mcu_i % restart_interval == 0:
                 bw.flush()
                 bw.buf += b"\xff" + bytes([0xD0 + rst])
                 rst = (rst + 1) & 7
                 preds = [0] * ncomp
             for ci in range(ncomp):
-                block = planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci]
-                coef = _DCT_M @ (block - 128.0) @ _DCT_M.T
-                qc = np.round(coef.reshape(64) / q)
-                zz = qc[_JPEG_ZZ].astype(np.int64)
-                diff = int(zz[0]) - preds[ci]
-                preds[ci] = int(zz[0])
-                s, extra = _magnitude(diff)
-                c, ln = dc_enc[s]
-                bw.write(c, ln)
-                bw.write(extra, s)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        c, ln = ac_enc[0xF0]  # ZRL
-                        bw.write(c, ln)
-                        run -= 16
-                    s, extra = _magnitude(v)
-                    c, ln = ac_enc[(run << 4) | s]
-                    bw.write(c, ln)
-                    bw.write(extra, s)
-                    run = 0
-                if last < 63:
-                    c, ln = ac_enc[0x00]  # EOB
-                    bw.write(c, ln)
+                for byy in range(vf[ci]):
+                    for bxx in range(hf[ci]):
+                        y0 = (my * vf[ci] + byy) * 8
+                        x0 = (mx * hf[ci] + bxx) * 8
+                        write_block(
+                            ci, planes[ci][y0:y0 + 8, x0:x0 + 8])
             mcu_i += 1
     bw.flush()
     out += bw.buf
@@ -1080,9 +1106,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     """Decode a baseline (SOF0) JPEG with numpy/struct only: marker
     walk, DQT/DHT/DRI table parsing, Huffman + magnitude-category
     entropy decode with RSTn resync, dequantization, inverse zigzag,
-    IDCT, and YCbCr→RGB for 3-component 4:4:4 scans. Returns (h, w)
-    uint8 for grayscale or (h, w, 3) uint8 RGB. Progressive/subsampled
-    files raise ValueError (genuinely out of baseline scope)."""
+    IDCT, generic interleaved-MCU sampling (4:4:4, 4:2:0, 4:2:2 — any
+    divisor sampling grid; chroma upsampled by sample replication), and
+    YCbCr→RGB for 3-component scans. Returns (h, w) uint8 for
+    grayscale or (h, w, 3) uint8 RGB. Progressive (SOF2) files raise
+    ValueError (genuinely out of baseline scope)."""
     import struct
 
     if data[:2] != b"\xff\xd8":
@@ -1136,8 +1164,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = [(body[6 + 3 * i], body[7 + 3 * i], body[8 + 3 * i])
                      for i in range(nc)]
-            if any(s != 0x11 for _, s, _q in comps):
-                raise ValueError("subsampled JPEG unsupported (4:4:4 only)")
+            if any(not (1 <= s >> 4 <= 4 and 1 <= (s & 15) <= 4)
+                   for _, s, _q in comps):
+                raise ValueError("JPEG sampling factors out of range")
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"non-baseline JPEG frame 0x{marker:02x}")
@@ -1148,13 +1177,52 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             scan = [(body[1 + 2 * i], body[2 + 2 * i] >> 4,
                      body[2 + 2 * i] & 15) for i in range(ns)]
             segs, pos = _split_entropy(data, pos)
-            mcu_rows, mcu_cols = -(-h // 8), -(-w // 8)
-            n_mcu = mcu_rows * mcu_cols
-            planes = np.empty((mcu_rows * 8, mcu_cols * 8, ns))
             by_id = {cid: (samp, tq) for cid, samp, tq in comps}
+            samp_of = [by_id[cid][0] for cid, _td, _ta in scan]
+            hf = [s >> 4 for s in samp_of]
+            vf = [s & 15 for s in samp_of]
+            # single-component scans are never interleaved (spec A.2.2):
+            # the MCU is one block regardless of the SOF sampling factor
+            if ns == 1:
+                hf, vf = [1], [1]
+            hmax, vmax = max(hf), max(vf)
+            if any(hmax % x for x in hf) or any(vmax % x for x in vf):
+                raise ValueError("non-divisor JPEG sampling grid")
+            mcu_rows = -(-h // (8 * vmax))
+            mcu_cols = -(-w // (8 * hmax))
+            n_mcu = mcu_rows * mcu_cols
+            planes = [np.empty((mcu_rows * 8 * vf[i], mcu_cols * 8 * hf[i]))
+                      for i in range(ns)]
             preds = [0] * ns
             seg_i = 0
             r = _SegReader(segs[0])
+
+            def read_block(ci, dc_t, ac_t, q):
+                s = _huff_decode(r, dc_t)
+                preds[ci] += _extend(r.bits(s), s)
+                zz = np.zeros(64, dtype=np.int64)
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(r, ac_t)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, s = sym >> 4, sym & 15
+                    if s == 0:
+                        if run != 15:
+                            raise ValueError(f"bad AC symbol {sym:#x}")
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run overflows block")
+                    zz[k] = _extend(r.bits(s), s)
+                    k += 1
+                nat = np.zeros(64, dtype=np.int64)
+                nat[_JPEG_ZZ] = zz
+                block = (nat * q).reshape(8, 8).astype(np.float64)
+                return _DCT_M.T @ block @ _DCT_M + 128.0
+
             for m in range(n_mcu):
                 if restart and m and m % restart == 0:
                     seg_i += 1
@@ -1162,37 +1230,26 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         raise ValueError("missing RST segment in scan")
                     r = _SegReader(segs[seg_i])
                     preds = [0] * ns
-                by, bx = divmod(m, mcu_cols)
+                my, mx = divmod(m, mcu_cols)
                 for ci, (cid, td, ta) in enumerate(scan):
                     dc_t, ac_t = htables[(0, td)], htables[(1, ta)]
                     q = qtables[by_id[cid][1]]
-                    s = _huff_decode(r, dc_t)
-                    preds[ci] += _extend(r.bits(s), s)
-                    zz = np.zeros(64, dtype=np.int64)
-                    zz[0] = preds[ci]
-                    k = 1
-                    while k < 64:
-                        sym = _huff_decode(r, ac_t)
-                        if sym == 0x00:  # EOB
-                            break
-                        run, s = sym >> 4, sym & 15
-                        if s == 0:
-                            if run != 15:
-                                raise ValueError(f"bad AC symbol {sym:#x}")
-                            k += 16
-                            continue
-                        k += run
-                        if k > 63:
-                            raise ValueError("AC run overflows block")
-                        zz[k] = _extend(r.bits(s), s)
-                        k += 1
-                    nat = np.zeros(64, dtype=np.int64)
-                    nat[_JPEG_ZZ] = zz
-                    block = (nat * q).reshape(8, 8).astype(np.float64)
-                    planes[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, ci] = (
-                        _DCT_M.T @ block @ _DCT_M + 128.0
-                    )
-            out = planes[:h, :w, :]
+                    for byy in range(vf[ci]):
+                        for bxx in range(hf[ci]):
+                            y0 = (my * vf[ci] + byy) * 8
+                            x0 = (mx * hf[ci] + bxx) * 8
+                            planes[ci][y0:y0 + 8, x0:x0 + 8] = read_block(
+                                ci, dc_t, ac_t, q)
+            # upsample subsampled components by replication, then stack
+            full = []
+            for i in range(ns):
+                p = planes[i]
+                if hf[i] != hmax:
+                    p = np.repeat(p, hmax // hf[i], axis=1)
+                if vf[i] != vmax:
+                    p = np.repeat(p, vmax // vf[i], axis=0)
+                full.append(p)
+            out = np.stack(full, axis=-1)[:h, :w, :]
             if ns == 1:
                 return np.clip(np.round(out[:, :, 0]), 0, 255).astype(np.uint8)
             if ns == 3:

