@@ -5164,6 +5164,142 @@ def bpe_pair_counts(spark, sf_dir):
 
 
 @register(
+    "bpe_encode",
+    r"""
+    WITH RECURSIVE
+    wl AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, i AS wi, ws[i] AS w
+      FROM wl, unnest(range(1, len(ws) + 1)) AS r(i)
+    ),
+    chars AS (
+      SELECT doc_id, wi, w, regexp_split_to_array(w, '') AS syms FROM words
+    ),
+    cpairs AS (
+      SELECT syms[i] || chr(31) || syms[i+1] AS pair
+      FROM chars, unnest(range(1, len(syms))) AS r(i)
+    ),
+    ranked AS (
+      SELECT pair, row_number() OVER (ORDER BY count(*) DESC, pair) AS rnk
+      FROM cpairs GROUP BY pair
+      ORDER BY rnk LIMIT 40
+    ),
+    step(doc_id, wi, syms) AS (
+      SELECT doc_id, wi, syms FROM chars
+      UNION ALL
+      SELECT s.doc_id, s.wi,
+             s.syms[1:bp.pos-1]
+             || [s.syms[bp.pos] || s.syms[bp.pos+1]]
+             || s.syms[bp.pos+2:len(s.syms)]
+      FROM step s,
+      LATERAL (
+        SELECT min_by(i, r.rnk * 1000000 + i) AS pos
+        FROM unnest(range(1, len(s.syms))) AS t(i)
+        JOIN ranked r ON r.pair = s.syms[i] || chr(31) || s.syms[i+1]
+      ) bp
+      WHERE bp.pos IS NOT NULL
+    ),
+    final AS (
+      SELECT doc_id, wi, min_by(syms, len(syms)) AS pieces
+      FROM step GROUP BY doc_id, wi
+    )
+    SELECT f.doc_id, f.wi,
+           len(c.w)::INT AS n_chars,
+           len(f.pieces)::INT AS n_pieces,
+           array_to_string(f.pieces, ' ') AS pieces_str
+    FROM final f JOIN chars c USING (doc_id, wi)
+    """,
+    doc="BPE tokenizer ENCODE path — the missing half of the tokenizer "
+        "family (bpe_pair_counts covers training statistics; this "
+        "applies a merge table to text): per word, repeatedly merge the "
+        "leftmost occurrence of the lowest-rank adjacent symbol pair "
+        "until no table pair remains (the iterative single-merge "
+        "variant of Sennrich et al. 2016 — canonical batch-BPE merges "
+        "all occurrences of a pair per step; both are deterministic, "
+        "and Spark and oracle implement the SAME variant, so the "
+        "value hash gates the merge loop itself). The merge table is "
+        "the corpus's top-40 adjacent character pairs (count desc, "
+        "pair asc — a fully deterministic first-training-iteration "
+        "table), computed as one map-side-combinable pair count with "
+        "TakeOrderedAndProject and collected as a 40-row broadcast "
+        "model — the codebook-collect shape (IVF precedent), O(vocab) "
+        "not O(corpus). Encoding runs in ONE Arrow-batched mapInPandas "
+        "over the exploded word frame: per-word Python loops are "
+        "bounded by word length (max 8 here), no shuffle after the "
+        "explode. The DuckDB twin re-derives the same table and "
+        "replays the same loop as a recursive CTE (leftmost-lowest-"
+        "rank via min_by(i, rnk*1e6+i)), so table derivation, tie "
+        "order, and merge application are all value-hash-gated. At "
+        "100 TB: the model is corpus-size-independent; encode is "
+        "embarrassingly parallel — the tokenize stage of a training-"
+        "data pipeline.",
+)
+def bpe_encode(spark, sf_dir):
+    from collections.abc import Iterator as _Iter
+
+    import pandas as _pd
+    from pyspark.sql import types as T
+
+    SEP = "\x1f"
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("wi0", "w"),
+    ).select("doc_id", (F.col("wi0") + 1).alias("wi"), "w")
+    # sequence(1, 0) is DESCENDING in Spark — guard 1-char words out
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(F.expr(
+            "transform(sequence(1, char_length(w) - 1), "
+            "i -> concat(substring(w, i, 1), char(31), "
+            "substring(w, i + 1, 1)))"
+        )).alias("pair")
+    )
+    top = (
+        pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("pair")).limit(40)
+        .collect()
+    )
+    ranks = {r["pair"]: i + 1 for i, r in enumerate(top)}
+
+    out_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("wi", T.LongType()),
+        T.StructField("n_chars", T.IntegerType()),
+        T.StructField("n_pieces", T.IntegerType()),
+        T.StructField("pieces_str", T.StringType()),
+    ])
+
+    def encode(batches: _Iter[_pd.DataFrame]) -> _Iter[_pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "wi": [], "n_chars": [], "n_pieces": [],
+                    "pieces_str": []}
+            for did, wi, w in zip(pdf["doc_id"], pdf["wi"], pdf["w"]):
+                syms = list(w)
+                while True:
+                    best_r = best_i = None
+                    for i in range(len(syms) - 1):
+                        r = ranks.get(syms[i] + SEP + syms[i + 1])
+                        if r is not None and (best_r is None or r < best_r):
+                            best_r, best_i = r, i
+                    if best_i is None:
+                        break
+                    syms[best_i:best_i + 2] = [syms[best_i]
+                                               + syms[best_i + 1]]
+                rows["doc_id"].append(int(did))
+                rows["wi"].append(int(wi))
+                rows["n_chars"].append(len(w))
+                rows["n_pieces"].append(len(syms))
+                rows["pieces_str"].append(" ".join(syms))
+            yield _pd.DataFrame(rows)
+
+    enc = words.mapInPandas(encode, schema=out_schema)
+    return enc
+
+
+@register(
     "token_kl_mixture",
     r"""
     WITH tok AS (
@@ -7665,19 +7801,18 @@ _GATE_PRIORITY = [
     "scalar_string_family", "set_union_by_name", "split_assign",
     "w1_windowed_activity",
     # -- new in round 5 --
-    "cdc_full_lifecycle", "multimodal_mjpeg_decode",
+    "cdc_full_lifecycle", "multimodal_mjpeg_decode", "bpe_encode",
     # -- flagship / bench heads, re-certified on final-round code --
     "q1_pricing_summary", "q3_segment_revenue", "q5_nation_revenue",
     "p1_corpus_pipeline", "f_filter_stack", "f2_dedup_lww",
     "dedup_exact", "dedup_components", "cosine_topk", "ann_recall",
     "ivf_topk_checkable", "minhash_dedup_checkable",
     "minhash_incremental", "ngram_jaccard_pairs", "exact_substring_dup",
-    "simhash_docs", "decontaminate", "embedding_near_dup_lsh",
+    "decontaminate", "embedding_near_dup_lsh",
     "token_pipeline", "token_splice", "text_langid_quality",
     "t1_sequence_pack", "cdc_envelope_replay", "cdc_txn_boundary",
     "cdc_toast_coalesce", "cdc_scd2_history", "cdc_chunked_backfill",
     "cdc_mor_compact", "cdc_offset_tail", "cdc_consumer_lag",
-    "multimodal_decode",
 ]
 _missing = [n for n in _GATE_PRIORITY if n not in QUERIES]
 assert not _missing, f"_GATE_PRIORITY names not in catalog: {_missing}"

@@ -100,6 +100,7 @@ AUDITED = [
     "cdc_scd2_history",
     "cdc_full_lifecycle",
     "multimodal_mjpeg_decode",
+    "bpe_encode",
     "cdc_pk_change",
     "cdc_chunked_backfill",
     "cdc_consumer_lag",
